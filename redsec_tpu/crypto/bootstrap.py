@@ -1,0 +1,292 @@
+"""Batched programmable (gate) bootstrapping on device.
+
+The reference spends ~99% of encrypted-inference wall time inside
+``tfhe_bootstrap_FFT`` (one per activation, lib/BinOps_enc.cpp:182-192) and
+parallelizes with OpenMP threads / 40 CUDA streams.  Here the whole batch of
+activations is ONE tensor program: every step of the pipeline —
+
+    mod-switch -> blind rotation (n CMUX rounds of TGSW external products in
+    the CRT-NTT domain) -> sample extract -> key switch
+
+— is vectorized over the batch dimension, so XLA maps it onto the TPU VPU
+with the n-round loop as a ``lax.fori_loop`` and the bootstrapping key
+streamed from HBM one round at a time.
+
+All arithmetic is exact: int32 two's-complement for torus ops, int32+fp32
+reciprocal mod-mul inside the NTT (see crypto/ntt.py).
+
+Host-side reference implementations (numpy) of the same pipeline are provided
+for cross-checking the device path on small parameter sets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ntt as ntt_mod
+from .keygen import CloudKey, _crt_host
+from .params import TfheParams
+from .torus import mod_switch_to_torus32
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceCloudKey:
+    """Device-resident evaluation key: BK pre-transformed to the CRT-NTT
+    domain (uint16 residues), KSK as a flat gather table."""
+
+    params: TfheParams
+    plan: ntt_mod.NttPlan
+    bk_ntt: Tuple[jax.Array, ...]  # per prime: uint16 [n, rows, 2, limbs, N]
+    ksk_flat: jax.Array  # int32 [N * t * base, n+1]
+
+
+def prepare_cloud_key(cloud: CloudKey) -> DeviceCloudKey:
+    """Transform the host CloudKey for device evaluation (NTT of each BK
+    polynomial's 16-bit limbs, per CRT prime)."""
+    p = cloud.params
+    plan = ntt_mod.make_plan(p.N, max_operand=p.half_bg)
+    bk_u = cloud.bk.astype(np.uint32)  # [n, rows, 2, N]
+    limbs = np.stack([bk_u & 0xFFFF, bk_u >> 16], axis=3).astype(np.int64)
+    # [n, rows, 2, limbs, N]
+    bk_ntt = []
+    for pi in range(len(plan.primes)):
+        res = ntt_mod.ntt_host(limbs, plan, pi)
+        bk_ntt.append(jnp.asarray(res.astype(np.uint16)))
+    ksk_flat = jnp.asarray(
+        cloud.ksk.reshape(-1, p.n + 1).astype(np.int32)
+    )
+    return DeviceCloudKey(params=p, plan=plan, bk_ntt=tuple(bk_ntt), ksk_flat=ksk_flat)
+
+
+def const_test_vector(params: TfheParams, value: int, msize: int) -> np.ndarray:
+    """Test vector for the sign bootstrap: all coefficients = mu, giving
+    +-mu depending on the sign of the phase (binarize_int/unbinarize_int,
+    lib/BinOps_enc.cpp:182-192)."""
+    mu = int(mod_switch_to_torus32(value, msize))
+    return np.full(params.N, mu, dtype=np.int32)
+
+
+def function_test_vector(params: TfheParams, fn: Callable[[np.ndarray], np.ndarray],
+                         msize: int) -> np.ndarray:
+    """Programmable test vector: output value fn(v) for input value v, where v
+    ranges over the message space.  fn must satisfy the negacyclic constraint
+    fn(v + msize/2) = -fn(v); inputs are assumed confined accordingly.
+
+    Coefficient j of the test vector holds the output for phases that
+    mod-switch to j, i.e. input value v ~= j * msize / (2N).
+    """
+    N, msz = params.N, msize
+    j = np.arange(N)
+    # input value represented by rotation j (phase j / 2N)
+    v = np.round(j * msz / (2 * N)).astype(np.int64)
+    out = fn(v)
+    return mod_switch_to_torus32(np.asarray(out), msz).astype(np.int32)
+
+
+# --------------------------------------------------------------------------- #
+# Device implementation                                                       #
+# --------------------------------------------------------------------------- #
+
+
+def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
+    """Build the jitted batched PBS: (ct [B, n+1], testvect [N] or [B, N])
+    -> ct [B, n+1].
+
+    One call performs B independent bootstraps; the caller vmaps nothing —
+    batching is native.
+    """
+    p = dkey.params
+    plan = dkey.plan
+    N, n, l, bg_bit = p.N, p.n, p.l, p.bg_bit
+    two_n = 2 * N
+    rows = p.decomp_rows
+    half_bg = p.half_bg
+    mask_mod = p.bg - 1
+    ms_shift = 32 - p.log2_2N
+    offset = 0
+    for j in range(l):
+        offset = (offset + (half_bg << (32 - (j + 1) * bg_bit))) & 0xFFFFFFFF
+    ks_t, ks_base, ks_basebit = p.ks_t, p.ks_base, p.ks_basebit
+    prec_offset = 1 << (32 - (1 + ks_basebit * ks_t))
+
+    primes = plan.primes
+
+    def mod_switch(x):
+        u = x.astype(jnp.uint32)
+        u = (u + np.uint32(1 << (ms_shift - 1))) >> np.uint32(ms_shift)
+        return (u & np.uint32(two_n - 1)).astype(jnp.int32)
+
+    def rotate(polys, t):
+        """X^t * poly (negacyclic) for per-batch exponents t [B] in [0, 2N)."""
+        ext = jnp.concatenate([polys, -polys], axis=-1)
+        j = jnp.arange(N, dtype=jnp.int32)[None, :]
+        idx = (j - t[:, None]) % two_n  # [B, N]
+        idx = idx.reshape(idx.shape[0], *([1] * (polys.ndim - 2)), N)
+        idx = jnp.broadcast_to(idx, polys.shape[:-1] + (N,))
+        return jnp.take_along_axis(ext, idx, axis=-1)
+
+    dec_shifts = np.array([32 - (j + 1) * bg_bit for j in range(l)], dtype=np.uint32)
+
+    def decompose(x):
+        """TFHE signed gadget decomposition (tGswTorus32PolynomialDecompH):
+        x [B, 2, N] torus -> digits [B, rows, N] in [-Bg/2, Bg/2)."""
+        u = x.astype(jnp.uint32) + np.uint32(offset)
+        d = (u[:, :, None, :] >> dec_shifts[None, None, :, None]) & np.uint32(mask_mod)
+        d = d.astype(jnp.int32) - np.int32(half_bg)
+        return d.reshape(x.shape[0], rows, N)
+
+    def external_delta(diff, bk_round):
+        """TGSW external product: decomp(diff) x BK_i -> torus delta [B, 2, N]."""
+        digits = decompose(diff)
+        conv = []  # per prime: [B, 2, limbs, N]
+        for pi, prime in enumerate(primes):
+            dmod = digits + np.int32(prime) * (digits < 0).astype(jnp.int32)
+            dn = ntt_mod.ntt_device(dmod, plan, pi)  # [B, rows, N]
+            bki = bk_round[pi].astype(jnp.int32)  # [rows, 2, limbs, N]
+            prod = ntt_mod._mulmod_device(
+                dn[:, :, None, None, :], bki[None, :, :, :, :], prime
+            )  # [B, rows, 2, limbs, N]
+            s = prod.sum(axis=1)  # < rows * prime < 2^21, exact in int32
+            s = ntt_mod._reduce_small(s, prime)
+            conv.append(ntt_mod.intt_device(s, plan, pi))
+        lo = ntt_mod.crt_to_torus32([c[:, :, 0, :] for c in conv], plan)
+        hi = ntt_mod.crt_to_torus32([c[:, :, 1, :] for c in conv], plan)
+        return lo + (hi.astype(jnp.uint32) << np.uint32(16)).astype(jnp.int32)
+
+    def blind_rotate(abar, bbar, tv):
+        acc_b = rotate(tv, (two_n - bbar) % two_n)
+        acc = jnp.stack([jnp.zeros_like(acc_b), acc_b], axis=1)  # [B, 2, N]
+
+        def body(i, acc):
+            ai = abar[:, i]
+            rot = rotate(acc, ai)
+            diff = rot - acc
+            bk_round = tuple(
+                jax.lax.dynamic_index_in_dim(bk, i, axis=0, keepdims=False)
+                for bk in dkey.bk_ntt
+            )
+            return acc + external_delta(diff, bk_round)
+
+        return jax.lax.fori_loop(0, n, body, acc, unroll=unroll)
+
+    def sample_extract(acc):
+        a_poly = acc[:, 0, :]
+        a_ext = jnp.concatenate([a_poly[:, :1], -a_poly[:, :0:-1]], axis=-1)
+        b_ext = acc[:, 1, 0]
+        return a_ext, b_ext
+
+    ks_shifts = np.array(
+        [32 - (j + 1) * ks_basebit for j in range(ks_t)], dtype=np.uint32
+    )
+
+    def key_switch(a_n, b_n):
+        u = a_n.astype(jnp.uint32) + np.uint32(prec_offset)
+        dig = (u[:, :, None] >> ks_shifts[None, None, :]) & np.uint32(ks_base - 1)
+        dig = dig.astype(jnp.int32)  # [B, N, t]
+        ij = (
+            jnp.arange(N, dtype=jnp.int32)[None, :, None] * ks_t
+            + jnp.arange(ks_t, dtype=jnp.int32)[None, None, :]
+        )
+        flat = ij * ks_base + dig  # [B, N, t]
+        picked = jnp.take(dkey.ksk_flat, flat.reshape(flat.shape[0], -1), axis=0)
+        ssum = picked.sum(axis=1)  # [B, n+1] int32 wraparound == torus sum
+        out = -ssum
+        out = out.at[:, n].add(b_n)
+        return out
+
+    def bootstrap(ct, testvect):
+        abar = mod_switch(ct[:, :n])
+        bbar = mod_switch(ct[:, n])
+        tv = jnp.broadcast_to(
+            jnp.asarray(testvect, dtype=jnp.int32).reshape(-1, N), (ct.shape[0], N)
+        )
+        acc = blind_rotate(abar, bbar, tv)
+        a_n, b_n = sample_extract(acc)
+        return key_switch(a_n, b_n)
+
+    return jax.jit(bootstrap)
+
+
+# --------------------------------------------------------------------------- #
+# Host reference (numpy, exact) — the test oracle for the device path         #
+# --------------------------------------------------------------------------- #
+
+
+def _rotate_host(poly: np.ndarray, t: int, N: int) -> np.ndarray:
+    ext = np.concatenate([poly, -poly], axis=-1)
+    j = np.arange(N)
+    return ext[..., (j - t) % (2 * N)]
+
+
+def bootstrap_host(cloud: CloudKey, ct: np.ndarray, testvect: np.ndarray) -> np.ndarray:
+    """Single-sample reference bootstrap in numpy int64 (exact)."""
+    p = cloud.params
+    N, n, l, bg_bit = p.N, p.n, p.l, p.bg_bit
+    plan = ntt_mod.make_plan(N, max_operand=p.half_bg)
+    half_bg, mask = p.half_bg, p.bg - 1
+    offset = sum((half_bg << (32 - (j + 1) * bg_bit)) for j in range(l)) & 0xFFFFFFFF
+
+    def mod_switch(x):
+        u = np.int64(x) & 0xFFFFFFFF
+        return int(((u + (1 << (31 - p.log2_2N))) >> (32 - p.log2_2N)) & (2 * N - 1))
+
+    def decompose(x):
+        u = (x.astype(np.int64) & 0xFFFFFFFF) + offset
+        digs = []
+        for j in range(l):
+            digs.append(((u >> (32 - (j + 1) * bg_bit)) & mask) - half_bg)
+        return np.stack(digs)  # [l, N]
+
+    def poly_mul_torus(d, c):
+        """digit poly x torus poly -> torus poly (exact via limbs + CRT)."""
+        c_u = c.astype(np.uint32)
+        out = np.zeros(N, dtype=np.int64)
+        for sh in (0, 16):
+            limb = ((c_u >> np.uint32(sh)) & np.uint32(0xFFFF)).astype(np.int64)
+            residues = []
+            for pi, prime in enumerate(plan.primes):
+                yd = ntt_mod.ntt_host(d % prime, plan, pi)
+                yl = ntt_mod.ntt_host(limb, plan, pi)
+                residues.append(ntt_mod.intt_host(yd * yl % prime, plan, pi))
+            out += _crt_host(residues, plan) << sh
+        return out.astype(np.uint64).astype(np.uint32).astype(np.int32)
+
+    abar = [mod_switch(v) for v in ct[:n]]
+    bbar = mod_switch(ct[n])
+    acc = np.stack(
+        [np.zeros(N, dtype=np.int32), _rotate_host(testvect.astype(np.int32), (2 * N - bbar) % (2 * N), N)]
+    )
+    for i in range(n):
+        rot = _rotate_host(acc, abar[i], N)
+        diff = (rot - acc).astype(np.int32)
+        delta = np.zeros((2, N), dtype=np.int32)
+        for bloc in range(2):
+            digs = decompose(diff[bloc])  # [l, N]
+            for j in range(l):
+                row = bloc * l + j
+                for u in range(2):
+                    delta[u] = (
+                        delta[u] + poly_mul_torus(digs[j], cloud.bk[i, row, u])
+                    ).astype(np.int32)
+        acc = (acc + delta).astype(np.int32)
+
+    a_ext = np.concatenate([acc[0, :1], -acc[0, :0:-1]]).astype(np.int32)
+    b_ext = acc[1, 0]
+
+    # key switch
+    t, base, basebit = p.ks_t, p.ks_base, p.ks_basebit
+    prec = 1 << (32 - (1 + basebit * t))
+    out = np.zeros(n + 1, dtype=np.int32)
+    out[n] = b_ext
+    for i in range(N):
+        u = (int(a_ext[i]) & 0xFFFFFFFF) + prec
+        for j in range(t):
+            dig = (u >> (32 - (j + 1) * basebit)) & (base - 1)
+            out = (out - cloud.ksk[i, j, dig]).astype(np.int32)
+    return out

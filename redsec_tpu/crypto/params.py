@@ -1,0 +1,95 @@
+"""CGGI/TFHE parameter sets.
+
+Mirrors the four sets shipped in the reference client
+(client/gen_secure_keyset.cpp:9-97; the default is ``small_v2``, selected at
+:97).  Noise parameters follow TFHE v1.1 conventions: the key-switching key is
+encrypted at the LWE ``alpha_min`` and the bootstrapping key at the accumulator
+``alpha_min``; fresh image encryptions use SECALPHA = 2^-15
+(client/encrypt_image.cpp:10).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class TfheParams:
+    name: str
+    n: int  # LWE dimension
+    N: int  # accumulator polynomial degree (power of two)
+    k: int  # RLWE mask length (always 1 here)
+    bg_bit: int  # TGSW decomposition base bits
+    l: int  # TGSW decomposition levels
+    ks_basebit: int  # key-switch base bits
+    ks_t: int  # key-switch levels
+    alpha_ks: float  # key-switch key noise stddev (torus units)
+    alpha_bk: float  # bootstrap key noise stddev
+    alpha_enc: float  # fresh client encryption noise (SECALPHA)
+    msg_space: int = 4096  # REDsec integer-domain message space (BinFunc.cpp:166)
+
+    @property
+    def bg(self) -> int:
+        return 1 << self.bg_bit
+
+    @property
+    def half_bg(self) -> int:
+        return 1 << (self.bg_bit - 1)
+
+    @property
+    def decomp_rows(self) -> int:
+        return (self.k + 1) * self.l
+
+    @property
+    def ks_base(self) -> int:
+        return 1 << self.ks_basebit
+
+    @property
+    def log2_2N(self) -> int:
+        return self.N.bit_length()  # log2(2N) since N is a power of two
+
+
+def _p(name, n, N, bg_bit, l, ks_basebit, ks_t, alpha_ks, alpha_bk, alpha_enc=2.0**-15):
+    return TfheParams(
+        name=name, n=n, N=N, k=1, bg_bit=bg_bit, l=l,
+        ks_basebit=ks_basebit, ks_t=ks_t,
+        alpha_ks=alpha_ks, alpha_bk=alpha_bk, alpha_enc=alpha_enc,
+    )
+
+
+# client/gen_secure_keyset.cpp:70-91 — the shipped default
+SMALL_V2 = _p("small_v2", n=350, N=1024, bg_bit=3, l=10, ks_basebit=3, ks_t=9,
+              alpha_ks=2.0**-25, alpha_bk=2.0**-30)
+# client/gen_secure_keyset.cpp:47-67
+SMALL = _p("small", n=500, N=1024, bg_bit=10, l=3, ks_basebit=1, ks_t=18,
+           alpha_ks=2.0**-25, alpha_bk=2.0**-36)
+# client/gen_secure_keyset.cpp:28-45
+MEDIUM = _p("medium", n=3072, N=4096, bg_bit=10, l=3, ks_basebit=1, ks_t=18,
+            alpha_ks=2.0**-40, alpha_bk=2.0**-45)
+# client/gen_secure_keyset.cpp:9-26
+LARGE = _p("large", n=6144, N=8192, bg_bit=10, l=3, ks_basebit=1, ks_t=18,
+           alpha_ks=2.0**-41, alpha_bk=2.0**-46)
+
+# Deterministic zero-noise set for bit-exact pipeline tests: same geometry
+# ratios as small_v2 (msg_space = 2 * 2N, i.e. 2 message units per rotation
+# slot) but tiny, so encrypted results match the plaintext oracle up to the
+# same rounding behavior as production.
+TEST_NOISELESS = dataclasses.replace(
+    _p("test_noiseless", n=64, N=256, bg_bit=3, l=10,
+       ks_basebit=3, ks_t=9, alpha_ks=0.0, alpha_bk=0.0, alpha_enc=0.0),
+    msg_space=1024,
+)
+# Noiseless at full production shape (for exactness tests of the real geometry).
+SMALL_V2_NOISELESS = _p("small_v2_noiseless", n=350, N=1024, bg_bit=3, l=10,
+                        ks_basebit=3, ks_t=9, alpha_ks=0.0, alpha_bk=0.0, alpha_enc=0.0)
+
+PARAM_SETS = {
+    p.name: p for p in (SMALL_V2, SMALL, MEDIUM, LARGE, TEST_NOISELESS, SMALL_V2_NOISELESS)
+}
+
+
+def get_params(name: str) -> TfheParams:
+    try:
+        return PARAM_SETS[name]
+    except KeyError:
+        raise KeyError(f"unknown parameter set {name!r}; available: {sorted(PARAM_SETS)}") from None

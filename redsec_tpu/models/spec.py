@@ -115,6 +115,11 @@ class ModelSpec:
 @dataclasses.dataclass
 class ConvPlan:
     weights: np.ndarray  # int8 [wh, ww, in_dep, out_dep], values in {-1, 0, +1}
+    # Integer-domain layers negate by 1's complement (~x = -x-1,
+    # IntOps.cpp:72-82) with the +1s folded into the exported bias
+    # (IntFunc.cpp:405-427), so the conv output is sum(w*x) - #neg_weights.
+    # None for binary-domain layers (bit flip is an exact +-1 negation).
+    neg_correction: "np.ndarray | None"
     in_h: int
     in_w: int
     in_dep: int
@@ -217,6 +222,9 @@ def _prep_conv(spec: LayerSpec, dim: Dimensions, reader: VarPrepReader) -> ConvP
 
     flen = window[0] * window[1] * in_dep * spec.out_depth
     weights = reader.read_tern(flen).reshape(window[0], window[1], in_dep, spec.out_depth)
+    neg = None
+    if spec.domain == Domain.INT:
+        neg = (weights == -1).sum(axis=(0, 1, 2)).astype(np.int32)
 
     dim.h, dim.w = out_h, out_w
     dim.in_dep = spec.out_depth
@@ -224,6 +232,7 @@ def _prep_conv(spec: LayerSpec, dim: Dimensions, reader: VarPrepReader) -> ConvP
     dim.out_bits = 1
     return ConvPlan(
         weights=weights,
+        neg_correction=neg,
         in_h=in_h,
         in_w=in_w,
         in_dep=in_dep,

@@ -1,0 +1,184 @@
+"""Encrypted operator library: REDsec layers over LWE ciphertext tensors.
+
+A ciphertext tensor is int32 ``[B, H, W, C, n+1]`` (one LWE sample per
+activation, batch leading).  Design (SURVEY.md §7.1):
+
+- conv/fc  : the reference's per-neuron ``lweAddTo`` gather/tree-reduce
+             (lib/BinFunc.cpp:217-310) becomes ONE plaintext-ternary matmul
+             over the ciphertext tensor, run exactly on the MXU by splitting
+             int32 into four signed int8 limbs (int8 x int8 -> int32 matmuls).
+- sumpool  : strided window sum (lib/BinFunc.cpp:677-732).
+- sign     : add bias to the body column + one batched sign bootstrap per
+             activation (lib/BinFunc.cpp:1044-1075, BinOps_enc.cpp:182-186).
+- maxpool  : the reference ORs pairwise with one bootstrap per element
+             (lib/BinOps_enc.cpp:164-167); we instead compute the window OR
+             with a single biased sign bootstrap per OUTPUT:
+             OR(x_1..x_w) = sign(sum x_i + (w-1)) for +-1 inputs.
+- relu     : DoReFa relu_shift as ONE programmable bootstrap per activation
+             with a per-channel test vector implementing the exact plaintext
+             staircase clamp((slope*x + bias) >> slope_bits, 0, 2^shift-1)
+             via the half-torus trick (valid while |conv output| < msize/4).
+             The reference's CPU encrypted relu chain (lib/BinFunc.cpp:1144-1150)
+             mixes gate-space and integer-space encodings; this is the
+             redesigned, self-consistent equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..crypto.bootstrap import DeviceCloudKey, const_test_vector
+from ..crypto.params import TfheParams
+from ..crypto.torus import mod_switch_to_torus32
+from ..models.spec import ConvPlan, PoolPlan, QuantPlan
+from ..runtime.ptxt import gather_patches
+
+
+def _int8_limbs(x: jax.Array):
+    """Split int32 into four sign-balanced int8 limbs: x = sum limb_i * 256^i."""
+    limbs = []
+    cur = x
+    for _ in range(3):
+        lo = ((cur + 128) & 255) - 128
+        limbs.append(lo.astype(jnp.int8))
+        cur = (cur - lo) >> 8  # exact: cur - lo divisible by 256
+    limbs.append(cur.astype(jnp.int8))  # top limb in [-128, 127]
+    return limbs
+
+
+def ternary_matmul_ct(patches: jax.Array, weights: np.ndarray) -> jax.Array:
+    """[B, P, K, R] ciphertexts x int8 ternary [K, O] -> [B, P, O, R].
+
+    Exact mod 2^32 via int8-limb decomposition; every matmul is an MXU-native
+    int8 x int8 -> int32 contraction.  Requires K * 128 < 2^31 (always true).
+    """
+    w8 = jnp.asarray(weights, dtype=jnp.int8)
+    out = None
+    for i, limb in enumerate(_int8_limbs(patches)):
+        part = jax.lax.dot_general(
+            limb, w8,
+            dimension_numbers=(((2,), (0,)), ((), ())),  # contract K
+            preferred_element_type=jnp.int32,
+        )  # [B, P, R, O]
+        part = part << (8 * i) if i else part
+        out = part if out is None else out + part
+    return jnp.swapaxes(out, -1, -2)  # [B, P, O, R]
+
+
+def conv_enc(plan: ConvPlan, x: jax.Array, msg_space: int = 4096) -> jax.Array:
+    """Encrypted conv/fc: patch gather + ternary matmul over ciphertexts.
+
+    Zero-padding contributes all-zero LWE samples — identical to the
+    reference's ``lweClear`` padding (lib/BinFunc.cpp:278-284)."""
+    if plan.flatten:
+        x = x.reshape(x.shape[0], 1, 1, -1, x.shape[-1])
+    patches = gather_patches(
+        x, (plan.weights.shape[0], plan.weights.shape[1]), plan.stride, plan.offset,
+        (plan.out_h, plan.out_w),
+    )  # [B, OH, OW, wh, ww, C, R]
+    B, R = x.shape[0], x.shape[-1]
+    k = plan.weights.shape[0] * plan.weights.shape[1] * plan.in_dep
+    patches = patches.reshape(B, plan.out_h * plan.out_w, k, R)
+    w = plan.weights.reshape(k, plan.out_dep)
+    out = ternary_matmul_ct(patches, w)
+    out = out.reshape(B, plan.out_h, plan.out_w, plan.out_dep, R)
+    if plan.neg_correction is not None:
+        # integer-domain 1's-complement correction as a noiseless trivial
+        # subtraction on the body column (see ConvPlan.neg_correction)
+        mu = mod_switch_to_torus32(plan.neg_correction, msg_space)
+        out = out.at[..., -1].add(-jnp.asarray(mu, jnp.int32))
+    return out
+
+
+def sumpool_enc(plan: PoolPlan, x: jax.Array) -> jax.Array:
+    patches = gather_patches(
+        x, plan.window, plan.stride, plan.offset, (plan.out_h, plan.out_w)
+    )
+    return patches.sum(axis=(3, 4), dtype=jnp.int32)
+
+
+def _add_bias_body(x: jax.Array, bias_mu: np.ndarray) -> jax.Array:
+    """Add per-channel noiseless-trivial biases: only the body column moves
+    (lweNoiselessTrivial + lweAddTo, lib/BinOps_enc.cpp:274-295)."""
+    mu = jnp.asarray(bias_mu, dtype=jnp.int32)  # [C]
+    return x.at[..., -1].add(mu)
+
+
+def quant_sign_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Array:
+    """Sign activation: bias add + one sign bootstrap per activation."""
+    mu = mod_switch_to_torus32(plan.bias, params.msg_space)
+    x = _add_bias_body(x, mu)
+    B, H, W, C, R = x.shape
+    tv = jnp.asarray(const_test_vector(params, 1, params.msg_space))
+    out = pbs(x.reshape(-1, R), tv)
+    return out.reshape(B, H, W, C, R)
+
+
+def quant_add_bias_enc(plan: QuantPlan, x: jax.Array, params: TfheParams) -> jax.Array:
+    mu = mod_switch_to_torus32(plan.bias, params.msg_space)
+    return _add_bias_body(x, mu)
+
+
+def relu_test_vectors(plan: QuantPlan, params: TfheParams) -> np.ndarray:
+    """Per-channel programmable test vectors for the DoReFa relu staircase.
+
+    With the half-torus pre-bias R = msize/4, rotation j represents input
+    value v = round(j * msize / 2N) - R; the output is the exact plaintext
+    formula clamp((slope*v + bias) >> slope_bits, 0, 2^shift - 1)
+    (IntFunc.cpp:953-969 semantics)."""
+    N, msize = params.N, params.msg_space
+    R = msize // 4
+    j = np.arange(N)
+    v = np.round(j * msize / (2 * N)).astype(np.int64) - R  # [-R, R)
+    slope = plan.slope.astype(np.int64)[:, None]  # [C, 1]
+    bias = plan.bias.astype(np.int64)[:, None]
+    y = (slope * v[None, :] + bias) >> plan.slope_bits
+    top = (1 << plan.shift_bits) - 1
+    out = np.clip(y, 0, top)
+    return mod_switch_to_torus32(out, msize).astype(np.int32)  # [C, N]
+
+
+def quant_relu_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Array:
+    """DoReFa relu as one per-channel programmable bootstrap.
+
+    Valid while the conv output magnitude stays below msize/4 (half-torus
+    trick); beyond that the phase wraps, exactly like the reference's leveled
+    accumulation beyond its 4096 message space."""
+    B, H, W, C, R = x.shape
+    half = np.int32(int(mod_switch_to_torus32(params.msg_space // 4, params.msg_space)))
+    x = x.at[..., -1].add(half)  # pre-bias into [0, msize/2)
+    tvs = jnp.asarray(relu_test_vectors(plan, params))  # [C, N]
+    tv_all = jnp.broadcast_to(tvs[None, :, :], (B * H * W, C, params.N)).reshape(-1, params.N)
+    out = pbs(x.reshape(-1, R), tv_all)
+    return out.reshape(B, H, W, C, R)
+
+
+def maxpool_enc(plan: PoolPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Array:
+    """Window OR via one biased sign bootstrap per output element.
+
+    Inputs are +-1 sign bits; OR = sign(sum + count - 2).  (count-1 would put
+    the all-false case at value -1, which the bootstrap's round-half-up
+    mod-switch maps to +1; count-2 centers the decision between -2 and 0.)
+    Out-of-bounds window slots contribute zero ciphertexts and are excluded
+    from the count.
+    """
+    patches = gather_patches(
+        x, plan.window, plan.stride, plan.offset, (plan.out_h, plan.out_w)
+    )  # [B, OH, OW, wh, ww, C, R]
+    s = patches.sum(axis=(3, 4), dtype=jnp.int32)  # [B, OH, OW, C, R]
+    # per-position in-bounds count (static geometry, computed host-side)
+    ih = np.arange(plan.out_h)[:, None] * plan.stride[0] + np.arange(plan.window[0])[None, :] - plan.offset[0]
+    iw = np.arange(plan.out_w)[:, None] * plan.stride[1] + np.arange(plan.window[1])[None, :] - plan.offset[1]
+    ok_h = ((ih >= 0) & (ih < plan.in_h)).sum(axis=1)  # [OH]
+    ok_w = ((iw >= 0) & (iw < plan.in_w)).sum(axis=1)  # [OW]
+    counts = ok_h[:, None] * ok_w[None, :]  # [OH, OW]
+    bias_mu = mod_switch_to_torus32(counts - 2, params.msg_space)  # [OH, OW]
+    s = s.at[..., -1].add(jnp.asarray(bias_mu, jnp.int32)[None, :, :, None])
+    B, OH, OW, C, R = s.shape
+    tv = jnp.asarray(const_test_vector(params, 1, params.msg_space))
+    out = pbs(s.reshape(-1, R), tv)
+    return out.reshape(B, OH, OW, C, R)

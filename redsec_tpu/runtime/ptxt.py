@@ -71,6 +71,8 @@ def conv_ptxt(plan: ConvPlan, x: jax.Array) -> jax.Array:
     out = jax.lax.dot_general(
         patches, w, (((2,), (0,)), ((), ())), preferred_element_type=x.dtype
     )
+    if plan.neg_correction is not None:
+        out = out - jnp.asarray(plan.neg_correction, dtype=x.dtype)
     return out.reshape(B, plan.out_h, plan.out_w, plan.out_dep)
 
 

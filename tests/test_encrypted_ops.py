@@ -1,0 +1,213 @@
+"""Encrypted-vs-plaintext equivalence tests for the operator library.
+
+Strategy (SURVEY.md §4): the plaintext engine is the oracle.  With noiseless
+keys the leveled path (conv/pool/bias) is EXACT; bootstrapped activations
+match up to the bootstrap's 2N rotation granularity, so tests either use
+margin-safe values or assert high agreement + identical argmax.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from redsec_tpu.crypto import bootstrap as bs
+from redsec_tpu.crypto import keygen as kg
+from redsec_tpu.crypto import lwe
+from redsec_tpu.crypto.params import TEST_NOISELESS
+from redsec_tpu.formats.varprep import VarPrepWriter
+from redsec_tpu.models.dims import Dimensions
+from redsec_tpu.models.spec import (
+    Activation,
+    BiasKind,
+    ConvKind,
+    ConvParams,
+    Domain,
+    LayerSpec,
+    ModelSpec,
+    PoolKind,
+    PoolParams,
+    prep_model,
+)
+from redsec_tpu.runtime.encrypted import (
+    build_encrypted_forward,
+    decrypt_scores,
+    encrypt_images,
+)
+from redsec_tpu.runtime.ptxt import build_forward
+
+
+@pytest.fixture(scope="module")
+def keys():
+    sk, cloud = kg.keygen(TEST_NOISELESS, seed=11)
+    return sk, cloud, bs.prepare_cloud_key(cloud)
+
+
+def make_mini_sign_net(rng):
+    """8x8x1 input -> SumPool2x2+Sign -> Conv3x3(4)+Sign+MaxPool -> FC(6)+Sign
+    -> FC_FINAL(3): exercises every Bin operator."""
+    spec = ModelSpec(
+        "test/mini_sign",
+        Dimensions(h=8, w=8, in_dep=1, in_bits=5, up_bound=30, scale=15.0),
+        [
+            LayerSpec(Domain.INT, ConvKind.NONE, 1, PoolKind.SUM, Activation.SIGN,
+                      BiasKind.NONE, pool_params=PoolParams((2, 2), (2, 2))),
+            LayerSpec(Domain.BIN, ConvKind.CONV, 4, PoolKind.MAX, Activation.SIGN,
+                      BiasKind.BNORM, conv_params=ConvParams((3, 3), (1, 1), True),
+                      pool_params=PoolParams((2, 2), (2, 2))),
+            LayerSpec(Domain.BIN, ConvKind.FC, 6, PoolKind.NONE, Activation.SIGN,
+                      BiasKind.BNORM),
+            LayerSpec(Domain.BIN, ConvKind.FC_FINAL, 3, PoolKind.NONE,
+                      Activation.NONE, BiasKind.NONE),
+        ],
+    )
+    wr = VarPrepWriter()
+    wr.write_i32(np.array([1]))  # layer0 bias
+    wr.write_tern(rng.choice([-1, 0, 1], size=3 * 3 * 1 * 4))
+    wr.write_i32(rng.integers(-3, 4, size=4))
+    wr.write_tern(rng.choice([-1, 0, 1], size=2 * 2 * 4 * 6))
+    wr.write_i32(rng.integers(-3, 4, size=6))
+    wr.write_tern(rng.choice([-1, 0, 1], size=6 * 3))
+    wr.write_i32(rng.integers(-3, 4, size=3))
+    return spec, wr.getvalue()
+
+
+def test_mini_sign_net_layerwise_self_consistency(keys):
+    """Every encrypted layer matches the plaintext oracle applied to the
+    DECRYPTED layer input: leveled stages exactly, bootstrapped stages
+    everywhere except within the mod-switch noise band of the sign boundary.
+
+    (End-to-end outputs then differ from pure-plaintext runs only through
+    near-boundary sign flips — the same robustness margin the reference's
+    encrypted path has, SURVEY.md §6.)
+    """
+    from redsec_tpu.crypto.bootstrap import make_batched_bootstrap
+    from redsec_tpu.models.spec import Activation
+    from redsec_tpu.ops import encrypted as eops
+    from redsec_tpu.runtime import ptxt as rp
+
+    sk, cloud, dkey = keys
+    params = TEST_NOISELESS
+    pbs = make_batched_bootstrap(dkey)
+    rng = np.random.default_rng(0)
+    spec, blob = make_mini_sign_net(rng)
+    plan = prep_model(spec, blob)
+
+    x = rng.integers(-15, 16, size=(4, 8, 8, 1)).astype(np.int32)
+    xc = jnp.asarray(encrypt_images(sk, x, params, rng))
+
+    def dec(ct):
+        return lwe.decrypt_integers(sk.lwe_key, np.asarray(ct), params)
+
+    # noise band: mod-switch rounding of n=64 mask coefficients to 2N slots
+    NOISE_BAND = 16
+
+    def check_sign(pre_ptxt, got, ctx):
+        want = np.where(pre_ptxt >= 0, 1, -1)
+        bad = got != want
+        assert np.abs(pre_ptxt[bad]).max(initial=0) <= NOISE_BAND, (
+            ctx, pre_ptxt[bad])
+        assert (~bad).mean() > 0.55, ctx
+
+    for li, layer in enumerate(plan.layers):
+        x_in = dec(xc)  # decrypted current activations (oracle input)
+        if layer.conv is not None:
+            xc = eops.conv_enc(layer.conv, xc, params.msg_space)
+            want = np.asarray(rp.conv_ptxt(layer.conv, jnp.asarray(x_in)))
+            np.testing.assert_array_equal(dec(xc), want, err_msg=f"conv L{li}")
+        if layer.sumpool is not None:
+            x_in = dec(xc)
+            xc = eops.sumpool_enc(layer.sumpool, xc)
+            want = np.asarray(rp.sumpool_ptxt(layer.sumpool, jnp.asarray(x_in)))
+            np.testing.assert_array_equal(dec(xc), want, err_msg=f"pool L{li}")
+        q = layer.quant
+        x_in = dec(xc)
+        if q.mode == Activation.SIGN:
+            xc = eops.quant_sign_enc(q, xc, pbs, params)
+            check_sign(x_in + q.bias, dec(xc), f"sign L{li}")
+        elif q.mode == Activation.NONE:
+            xc = eops.quant_add_bias_enc(q, xc, params)
+            np.testing.assert_array_equal(dec(xc), x_in + q.bias, f"bias L{li}")
+        if layer.maxpool is not None:
+            x_in = dec(xc)
+            xc = eops.maxpool_enc(layer.maxpool, xc, pbs, params)
+            want = np.asarray(rp.maxpool_ptxt(layer.maxpool, jnp.asarray(x_in)))
+            got = dec(xc)
+            # OR is exact except when sum+count-2 lands in the noise band
+            agree = (got == want).mean()
+            assert agree >= 0.55, f"maxpool L{li}: {agree}"
+
+
+def test_full_jit_encrypted_forward_runs(keys):
+    """The single-jit end-to-end program compiles and yields sane +-range scores."""
+    sk, cloud, dkey = keys
+    rng = np.random.default_rng(0)
+    spec, blob = make_mini_sign_net(rng)
+    plan = prep_model(spec, blob)
+    x = rng.integers(-15, 16, size=(2, 8, 8, 1)).astype(np.int32)
+    ct = encrypt_images(sk, x, TEST_NOISELESS, rng)
+    scores = decrypt_scores(sk, build_encrypted_forward(plan, dkey)(jnp.asarray(ct)),
+                            TEST_NOISELESS)
+    assert scores.shape == (2, 3)
+    assert np.abs(scores).max() <= 12  # |fan-in 6 + bias 3| bound
+
+
+def test_leveled_only_exactness(keys):
+    """conv + sumpool + add_bias with no bootstraps decrypts EXACTLY."""
+    sk, cloud, dkey = keys
+    rng = np.random.default_rng(1)
+    spec = ModelSpec(
+        "test/leveled",
+        Dimensions(h=6, w=6, in_dep=2, in_bits=4, up_bound=16, scale=8.0),
+        [
+            LayerSpec(Domain.INT, ConvKind.CONV, 3, PoolKind.SUM, Activation.NONE,
+                      BiasKind.NONE, conv_params=ConvParams((3, 3), (1, 1), True),
+                      pool_params=PoolParams((2, 2), (2, 2))),
+        ],
+    )
+    wr = VarPrepWriter()
+    wr.write_tern(rng.choice([-1, 0, 1], size=3 * 3 * 2 * 3))
+    wr.write_i32(rng.integers(-5, 6, size=3))
+    plan = prep_model(spec, wr.getvalue())
+
+    x = rng.integers(-8, 9, size=(2, 6, 6, 2)).astype(np.int32)
+    want = np.asarray(build_forward(plan)(jnp.asarray(x)))
+    ct = encrypt_images(sk, x, TEST_NOISELESS, rng)
+    got = decrypt_scores(sk, build_encrypted_forward(plan, dkey)(jnp.asarray(ct)),
+                         TEST_NOISELESS)
+    np.testing.assert_array_equal(got.reshape(want.shape), want)
+
+
+def test_relu_layer_encrypted(keys):
+    """Int relu_shift via per-channel programmable bootstrap vs ptxt."""
+    sk, cloud, dkey = keys
+    rng = np.random.default_rng(2)
+    spec = ModelSpec(
+        "test/relu",
+        Dimensions(h=1, w=1, in_dep=16, in_bits=3, up_bound=4, scale=1.0),
+        [
+            LayerSpec(Domain.INT, ConvKind.FC, 8, PoolKind.NONE, Activation.RELU,
+                      BiasKind.BNORM, conv_params=ConvParams(tern_thresh=0.1),
+                      shift_bits=3),
+            LayerSpec(Domain.INT, ConvKind.FC, 3, PoolKind.NONE, Activation.NONE,
+                      BiasKind.NONE),
+        ],
+    )
+    wr = VarPrepWriter()
+    wr.write_tern(rng.choice([-1, 0, 1], size=16 * 8))
+    # bias/slope picked so staircase steps are wide vs rotation granularity
+    wr.write_i32(rng.integers(-64, 64, size=8))
+    wr.write_i32(np.full(8, 16), signed=False)  # slope
+    wr.write_tern(rng.choice([-1, 0, 1], size=8 * 3))
+    wr.write_i32(rng.integers(-4, 5, size=3))
+    plan = prep_model(spec, wr.getvalue())
+
+    x = rng.integers(-1, 2, size=(3, 1, 1, 16)).astype(np.int32)
+    want = np.asarray(build_forward(plan)(jnp.asarray(x)))
+    ct = encrypt_images(sk, x, TEST_NOISELESS, rng)
+    got = decrypt_scores(sk, build_encrypted_forward(plan, dkey)(jnp.asarray(ct)),
+                         TEST_NOISELESS)
+    got = got.reshape(want.shape)
+    # relu staircase boundaries at granularity can shift a unit; argmax robust
+    assert (got.argmax(1) == want.argmax(1)).all()
+    assert np.abs(got - want).max() <= 24, (got, want)
