@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark: gate bootstraps per second per chip (the BASELINE.json metric).
+
+Runs the batched CGGI gate bootstrap (small_v2 parameters: n=350, N=1024,
+l=10 — the reference's shipped default, client/gen_secure_keyset.cpp:70-97)
+on the available accelerator and prints ONE JSON line.
+
+vs_baseline is measured against 1000 bootstraps/sec — the throughput class
+the reference's GPU backend needs to hit its "inference in seconds" claim on
+MNIST sign1024x1 (~1220 bootstraps/image, BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_BOOTSTRAPS_PER_SEC = 1000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+
+    from redsec_tpu.crypto import bootstrap as bs
+    from redsec_tpu.crypto import lwe
+    from redsec_tpu.crypto.params import get_params
+    from redsec_tpu.formats.keys import ensure_keyset
+
+    params_name = os.environ.get("REDSEC_BENCH_PARAMS", "small_v2")
+    batch = int(os.environ.get("REDSEC_BENCH_BATCH", "1024"))
+    iters = int(os.environ.get("REDSEC_BENCH_ITERS", "4"))
+
+    params = get_params(params_name)
+    sk, dkey = ensure_keyset(params_name, seed=0)
+    pbs = bs.make_batched_bootstrap(dkey)
+
+    rng = np.random.default_rng(0)
+    vals = rng.integers(-1500, 1500, size=batch)
+    ct = jnp.asarray(lwe.encrypt_integers(sk.lwe_key, vals, params, rng))
+    tv = jnp.asarray(bs.const_test_vector(params, 1, params.msg_space))
+
+    out = pbs(ct, tv)  # compile + warm up
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pbs(ct, tv)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    # correctness spot check
+    dec = lwe.decrypt_integers(sk.lwe_key, np.asarray(out), params)
+    ok = float((dec == np.where(vals >= 0, 1, -1)).mean())
+
+    rate = batch * iters / dt
+    print(json.dumps({
+        "metric": "gate_bootstraps_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "bootstraps/s",
+        "vs_baseline": round(rate / BASELINE_BOOTSTRAPS_PER_SEC, 4),
+        "params": params_name,
+        "batch": batch,
+        "sign_accuracy": ok,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Command-line interface: the reference's client + nets make-target flows.
+
+Subcommands (reference equivalents in parentheses):
+
+- ``keygen``          (client: make keygen)         -> secret.key.npz / eval.key.npz
+- ``encrypt-image``   (client: make encrypt-image)  image.ptxt/CSV row -> image.ctxt.npz
+- ``run-encrypted``   (nets: make cpu-encrypt)      image.ctxt.npz -> network_output.ctxt.npz
+- ``decrypt-image``   (client: make decrypt-image)  network_output.ctxt.npz -> class
+- ``ptxt``            (nets: make ptxt)             plaintext accuracy over a CSV
+- ``compile``         (compiler/compiler.py)        CSV netlist -> model spec JSON (+ training script)
+
+Example end-to-end flow:
+  python -m redsec_tpu keygen --out-dir ./wk
+  python -m redsec_tpu encrypt-image --csv nets/mnist/mnist_data.csv --row 0 \
+      --secret ./wk/secret.key.npz --out ./wk/image.ctxt.npz --model mnist/sign1024x1
+  python -m redsec_tpu run-encrypted --model mnist/sign1024x1 \
+      --weights .../var_prep.dat --eval ./wk/eval.key.npz \
+      --image ./wk/image.ctxt.npz --out ./wk/network_output.ctxt.npz
+  python -m redsec_tpu decrypt-image --secret ./wk/secret.key.npz \
+      --output ./wk/network_output.ctxt.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _cpu_jax():
+    import jax
+
+    if os.environ.get("REDSEC_DEVICE", "auto") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def cmd_keygen(args):
+    from .crypto import keygen as kg
+    from .formats import keys as kio
+    from .crypto.params import get_params
+
+    params = get_params(args.params)
+    t0 = time.time()
+    sk, cloud = kg.keygen(params, seed=args.seed)
+    os.makedirs(args.out_dir, exist_ok=True)
+    kio.save_secret_key(os.path.join(args.out_dir, "secret.key.npz"), sk)
+    kio.save_cloud_key(os.path.join(args.out_dir, "eval.key.npz"), cloud)
+    print(f"keyset ({args.params}) written to {args.out_dir} in {time.time()-t0:.1f}s")
+
+
+def cmd_encrypt_image(args):
+    from .crypto import lwe
+    from .formats import image_io, keys as kio
+
+    sk = kio.load_secret_key(args.secret)
+    if args.image_ptxt:
+        label, px = image_io.read_image_ptxt(args.image_ptxt)
+    else:
+        h, w, c = (28, 28, 1) if "mnist" in args.model else (32, 32, 3)
+        labels, imgs = image_io.load_csv_dataset(args.csv, h, w, c, limit=args.row + 1)
+        label, px = int(labels[args.row]), imgs[args.row]
+    x = image_io.pixel_transform_for(args.model)(px)
+    rng = np.random.default_rng(args.seed)
+    ct = lwe.encrypt_integers(sk.lwe_key, x, sk.params, rng)
+    kio.save_ciphertexts(args.out, ct, sk.params, label=label)
+    print(f"encrypted {x.shape} image (label {label}) -> {args.out}")
+
+
+def cmd_run_encrypted(args):
+    jax = _cpu_jax()
+    import jax.numpy as jnp
+
+    from .crypto import bootstrap as bs
+    from .formats import keys as kio
+    from .models.spec import prep_model
+    from .models.zoo import get_model
+    from .runtime.encrypted import build_encrypted_forward
+
+    cloud = kio.load_cloud_key(args.eval)
+    t0 = time.time()
+    dkey = bs.prepare_cloud_key(cloud)
+    print(f"evaluation key prepared in {time.time()-t0:.1f}s")
+    plan = prep_model(get_model(args.model), args.weights)
+    ct, params, label = kio.load_ciphertexts(args.image)
+    d = plan.in_dim
+    ct = ct.reshape(1, d.h, d.w, d.in_dep, -1)
+    fwd = build_encrypted_forward(plan, dkey)
+    t0 = time.time()
+    scores = np.asarray(fwd(jnp.asarray(ct)))
+    dt = time.time() - t0
+    kio.save_ciphertexts(args.out, scores[0], params, label=label)
+    print(f"Inference Time: {dt:.2f} seconds")  # matches reference's print (main.cu:72-78)
+    print(f"encrypted scores -> {args.out}")
+
+
+def cmd_decrypt_image(args):
+    from .formats import keys as kio
+    from .runtime.encrypted import decrypt_scores
+
+    sk = kio.load_secret_key(args.secret)
+    ct, params, label = kio.load_ciphertexts(args.output)
+    scores = decrypt_scores(sk, ct[None], sk.params)[0]
+    pred = int(scores.argmax())
+    print(f"Classification Result: {pred}")  # client/decrypt_image.cpp:63
+    if label >= 0:
+        print(f"(true label: {label}, scores: {scores.tolist()})")
+
+
+def cmd_ptxt(args):
+    _cpu_jax()
+    from .formats import image_io
+    from .models.spec import prep_model
+    from .models.zoo import get_model
+    from .runtime.ptxt import predict
+
+    spec = get_model(args.model)
+    plan = prep_model(spec, args.weights)
+    d = plan.in_dim
+    labels, px = image_io.load_csv_dataset(args.csv, d.h, d.w, d.in_dep, limit=args.limit)
+    x = image_io.pixel_transform_for(args.model)(px)
+    preds = predict(plan, x)
+    correct = int((preds == labels).sum())
+    print(f"Correct: {100.0 * correct / len(labels):f}%")  # main.cpp:111 format
+
+
+def cmd_compile(args):
+    from .compiler.netlist import compile_netlist
+
+    out = compile_netlist(args.netlist, args.name, out_dir=args.out_dir)
+    print(json.dumps(out, indent=2, default=str))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="redsec_tpu", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("keygen", help="generate secret + evaluation keys")
+    p.add_argument("--params", default="small_v2")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", default=".")
+    p.set_defaults(fn=cmd_keygen)
+
+    p = sub.add_parser("encrypt-image", help="encrypt one image")
+    p.add_argument("--secret", required=True)
+    p.add_argument("--model", default="mnist/sign1024x1")
+    p.add_argument("--image-ptxt")
+    p.add_argument("--csv")
+    p.add_argument("--row", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="image.ctxt.npz")
+    p.set_defaults(fn=cmd_encrypt_image)
+
+    p = sub.add_parser("run-encrypted", help="run encrypted inference (cloud side)")
+    p.add_argument("--model", required=True)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--eval", required=True)
+    p.add_argument("--image", required=True)
+    p.add_argument("--out", default="network_output.ctxt.npz")
+    p.set_defaults(fn=cmd_run_encrypted)
+
+    p = sub.add_parser("decrypt-image", help="decrypt class scores")
+    p.add_argument("--secret", required=True)
+    p.add_argument("--output", default="network_output.ctxt.npz")
+    p.set_defaults(fn=cmd_decrypt_image)
+
+    p = sub.add_parser("ptxt", help="plaintext accuracy harness")
+    p.add_argument("--model", required=True)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--csv", required=True)
+    p.add_argument("--limit", type=int, default=100)
+    p.set_defaults(fn=cmd_ptxt)
+
+    p = sub.add_parser("compile", help="compile a CSV netlist to a model spec")
+    p.add_argument("netlist")
+    p.add_argument("name")
+    p.add_argument("--out-dir", default=".")
+    p.set_defaults(fn=cmd_compile)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

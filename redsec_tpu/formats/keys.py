@@ -1,0 +1,112 @@
+"""Key/ciphertext file formats.
+
+The reference serializes keys/ciphertexts with TFHE v1.1's stream format
+(``secret.key`` / ``eval.key`` / ``image.ctxt`` / ``network_output.ctxt``,
+client/gen_secure_keyset.cpp:107-115, client/encrypt_image.cpp:82-85).  Our
+artifacts carry the same roles and pipeline positions with an npz container
+(self-describing, versioned); the pixel/score payload semantics are identical
+(one LWE sample per pixel, 2p-255 encoding in the 4096 message space).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from ..crypto.keygen import CloudKey, SecretKey
+from ..crypto.params import TfheParams, get_params
+
+FORMAT_VERSION = 1
+
+
+def save_secret_key(path: str, sk: SecretKey) -> None:
+    np.savez_compressed(
+        path, version=FORMAT_VERSION, params=sk.params.name,
+        lwe_key=sk.lwe_key, rlwe_key=sk.rlwe_key,
+    )
+
+
+def load_secret_key(path: str) -> SecretKey:
+    d = np.load(path, allow_pickle=False)
+    params = get_params(str(d["params"]))
+    return SecretKey(params, d["lwe_key"], d["rlwe_key"])
+
+
+def save_cloud_key(path: str, ck: CloudKey) -> None:
+    np.savez(path, version=FORMAT_VERSION, params=ck.params.name, bk=ck.bk, ksk=ck.ksk)
+
+
+def load_cloud_key(path: str) -> CloudKey:
+    d = np.load(path, allow_pickle=False)
+    params = get_params(str(d["params"]))
+    return CloudKey(params, d["bk"], d["ksk"])
+
+
+def save_ciphertexts(path: str, ct: np.ndarray, params: TfheParams, label=None) -> None:
+    """Ciphertext container (role of image.ctxt / network_output.ctxt)."""
+    np.savez(
+        path, version=FORMAT_VERSION, params=params.name, ct=ct.astype(np.int32),
+        label=-1 if label is None else int(label),
+    )
+
+
+def load_ciphertexts(path: str):
+    d = np.load(path, allow_pickle=False)
+    return d["ct"], get_params(str(d["params"])), int(d["label"])
+
+
+# --------------------------------------------------------------------------- #
+# Prepared (device/NTT-domain) key cache                                      #
+# --------------------------------------------------------------------------- #
+
+
+def save_prepared_key(path: str, dkey) -> None:
+    """Cache the NTT-domain bootstrapping key + flat KSK so benches and
+    repeated runs skip the ~2 min host transform."""
+    arrs = {f"bk_ntt_{i}": np.asarray(b) for i, b in enumerate(dkey.bk_ntt)}
+    np.savez(
+        path, version=FORMAT_VERSION, params=dkey.params.name,
+        nprimes=len(dkey.bk_ntt), ksk_flat=np.asarray(dkey.ksk_flat), **arrs,
+    )
+
+
+def load_prepared_key(path: str):
+    import jax.numpy as jnp
+
+    from ..crypto import ntt as ntt_mod
+    from ..crypto.bootstrap import DeviceCloudKey
+
+    d = np.load(path, allow_pickle=False)
+    params = get_params(str(d["params"]))
+    plan = ntt_mod.make_plan(params.N, max_operand=params.half_bg)
+    bk_ntt = tuple(jnp.asarray(d[f"bk_ntt_{i}"]) for i in range(int(d["nprimes"])))
+    return DeviceCloudKey(
+        params=params, plan=plan, bk_ntt=bk_ntt, ksk_flat=jnp.asarray(d["ksk_flat"])
+    )
+
+
+def keyset_dir(base: str | None = None) -> str:
+    d = base or os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".keys")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def ensure_keyset(params_name: str = "small_v2", seed: int = 0, base: str | None = None):
+    """Generate-or-load a cached keyset; returns (SecretKey, DeviceCloudKey)."""
+    from ..crypto import bootstrap as bs
+    from ..crypto import keygen as kg
+
+    d = keyset_dir(base)
+    tag = f"{params_name}_s{seed}"
+    sk_path = os.path.join(d, f"secret_{tag}.npz")
+    pk_path = os.path.join(d, f"prepared_{tag}.npz")
+    if os.path.exists(sk_path) and os.path.exists(pk_path):
+        return load_secret_key(sk_path), load_prepared_key(pk_path)
+    params = get_params(params_name)
+    sk, cloud = kg.keygen(params, seed=seed)
+    dkey = bs.prepare_cloud_key(cloud)
+    save_secret_key(sk_path, sk)
+    save_prepared_key(pk_path, dkey)
+    return sk, dkey

@@ -1,0 +1,100 @@
+"""Multi-chip execution: device meshes and sharded encrypted inference.
+
+The reference's scaling story is OpenMP threads + 40 CUDA streams + an
+unused NUM_GPUS replication knob with no inter-GPU exchange (SURVEY.md §2.2).
+The TPU-native story is a ``jax.sharding.Mesh`` with two axes:
+
+- ``dp``: data parallelism over the bootstrap batch (activations are
+  independent between bootstraps — embarrassingly parallel, rides on XLA's
+  SPMD partitioner with zero collectives).
+- ``tp``: tensor parallelism over a layer's fan-in: conv/fc partial sums are
+  computed from a fan-in shard on each device and combined with ``psum``
+  over ICI; the following bootstrap batch is then sharded over the layer's
+  output neurons.
+
+Evaluation keys (BK in NTT domain + KSK) are replicated — they are shared
+read-only state, exactly like weights in standard inference serving.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, tp: int = 1) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    assert n % tp == 0, (n, tp)
+    arr = np.array(devs[:n]).reshape(n // tp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def shard_ciphertext_batch(ct: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a ciphertext batch [B, ...] sharded over dp, replicated over tp."""
+    spec = P("dp", *([None] * (ct.ndim - 1)))
+    return jax.device_put(ct, NamedSharding(mesh, spec))
+
+
+def build_dp_encrypted_forward(model, dkey, mesh: Mesh):
+    """Data-parallel whole-model encrypted forward: batch sharded over dp.
+
+    Every stage is batch-elementwise (including the bootstraps), so the SPMD
+    partitioner runs the full pipeline without cross-device communication;
+    scaling efficiency is limited only by the replicated-key HBM footprint.
+    """
+    from ..runtime.encrypted import build_encrypted_forward
+
+    fwd = build_encrypted_forward(model, dkey, jit=False)
+    in_spec = NamedSharding(mesh, P("dp", None, None, None, None))
+    out_spec = NamedSharding(mesh, P("dp", None, None))
+    return jax.jit(fwd, in_shardings=in_spec, out_shardings=out_spec)
+
+
+def fc_sign_tp(x_ct: jax.Array, weights: np.ndarray, bias: np.ndarray,
+               dkey, mesh: Mesh):
+    """Fan-in-sharded FC + sign layer: the tp building block.
+
+    ``x_ct``: [B, K, R] ciphertexts with K (fan-in) sharded over tp and B over
+    dp; ``weights``: int [K, O].  Each device contracts its fan-in shard on
+    the MXU, partial LWE sums are ``psum``-combined over ICI, and the output
+    neurons are re-sharded over tp so each device bootstraps O/tp of them.
+    Returns [B, O, R] sharded (dp, tp).
+    """
+    from ..crypto.bootstrap import const_test_vector, make_batched_bootstrap
+    from ..crypto.torus import mod_switch_to_torus32
+    from ..ops.encrypted import ternary_matmul_ct
+
+    params = dkey.params
+    pbs = make_batched_bootstrap(dkey)
+    tp = mesh.shape["tp"]
+    O = weights.shape[1]
+    assert O % tp == 0, (O, tp)
+    w_dev = jnp.asarray(weights, dtype=jnp.int8)
+    bias_mu = jnp.asarray(mod_switch_to_torus32(bias, params.msg_space), jnp.int32)
+    tv = jnp.asarray(const_test_vector(params, 1, params.msg_space))
+
+    def body(x_local, w_local, bias_mu_all):
+        # x_local [B/dp, K/tp, R]; w_local [K/tp, O]
+        part = ternary_matmul_ct(x_local[:, None], w_local)[:, 0]  # [B/dp, O, R]
+        full = jax.lax.psum(part, "tp")  # fan-in combine over ICI
+        # each tp member bootstraps its O/tp slice of the output neurons
+        ti = jax.lax.axis_index("tp")
+        chunk = O // tp
+        mine = jax.lax.dynamic_slice_in_dim(full, ti * chunk, chunk, axis=1)
+        mu = jax.lax.dynamic_slice_in_dim(bias_mu_all, ti * chunk, chunk)
+        mine = mine.at[..., -1].add(mu)
+        b_local = mine.shape[0]
+        out = pbs(mine.reshape(-1, mine.shape[-1]), tv)
+        return out.reshape(b_local, chunk, -1)
+
+    shard = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("dp", "tp", None), P("tp", None), P()),
+        out_specs=P("dp", "tp", None),
+    )
+    return shard(x_ct, w_dev, bias_mu)
