@@ -68,7 +68,7 @@ def save_prepared_key(path: str, dkey) -> None:
     arrs = {f"bk_ntt_{i}": np.asarray(b) for i, b in enumerate(dkey.bk_ntt)}
     np.savez(
         path, version=FORMAT_VERSION, params=dkey.params.name,
-        nprimes=len(dkey.bk_ntt), ksk_flat=np.asarray(dkey.ksk_flat), **arrs,
+        nprimes=len(dkey.bk_ntt), ksk_limbs=np.asarray(dkey.ksk_limbs), **arrs,
     )
 
 
@@ -82,8 +82,10 @@ def load_prepared_key(path: str):
     params = get_params(str(d["params"]))
     plan = ntt_mod.make_plan(params.N, max_operand=params.half_bg)
     bk_ntt = tuple(jnp.asarray(d[f"bk_ntt_{i}"]) for i in range(int(d["nprimes"])))
+    if "ksk_limbs" not in d:
+        raise ValueError("stale prepared-key cache (pre-ksk_limbs format); regenerate")
     return DeviceCloudKey(
-        params=params, plan=plan, bk_ntt=bk_ntt, ksk_flat=jnp.asarray(d["ksk_flat"])
+        params=params, plan=plan, bk_ntt=bk_ntt, ksk_limbs=jnp.asarray(d["ksk_limbs"])
     )
 
 
