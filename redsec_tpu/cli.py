@@ -128,6 +128,26 @@ def cmd_ptxt(args):
     print(f"Correct: {100.0 * correct / len(labels):f}%")  # main.cpp:111 format
 
 
+def cmd_stats(args):
+    _cpu_jax()
+    from .models.spec import prep_model
+    from .models.zoo import get_model
+    from .utils.metrics import summarize
+
+    plan = prep_model(get_model(args.model), args.weights)
+    print(json.dumps(summarize(plan), indent=2))
+
+
+def cmd_weight_convert(args):
+    from .compiler.weight_convert import weight_convert
+    from .models.zoo import get_model
+
+    blob = weight_convert(get_model(args.model), args.raw)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"packed weights ({len(blob)} bytes) -> {args.out}")
+
+
 def cmd_compile(args):
     from .compiler.netlist import compile_netlist
 
@@ -175,6 +195,17 @@ def main(argv=None):
     p.add_argument("--csv", required=True)
     p.add_argument("--limit", type=int, default=100)
     p.set_defaults(fn=cmd_ptxt)
+
+    p = sub.add_parser("stats", help="per-layer bootstrap/MAC counts for a model")
+    p.add_argument("--model", required=True)
+    p.add_argument("--weights", required=True)
+    p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("weight-convert", help="float var.dat1 -> packed var_prep.dat")
+    p.add_argument("--model", required=True)
+    p.add_argument("--raw", required=True, help="var.dat1 float dump")
+    p.add_argument("--out", default="var_prep.dat")
+    p.set_defaults(fn=cmd_weight_convert)
 
     p = sub.add_parser("compile", help="compile a CSV netlist to a model spec")
     p.add_argument("netlist")

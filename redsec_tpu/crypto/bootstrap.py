@@ -59,13 +59,27 @@ def _int8_limbs_np(x: np.ndarray):
     return np.stack(limbs)
 
 
+BK_LIMB_BITS = 8  # 4 x 8-bit limbs: keeps the row-accumulated external
+# product provably inside the 2-prime CRT range (see ntt.primes_for)
+BK_LIMBS = 32 // BK_LIMB_BITS
+
+
+def _bootstrap_plan(p: TfheParams) -> ntt_mod.NttPlan:
+    return ntt_mod.make_plan(
+        p.N, max_operand=p.half_bg, limb_bits=BK_LIMB_BITS, accum=p.decomp_rows
+    )
+
+
 def prepare_cloud_key(cloud: CloudKey) -> DeviceCloudKey:
     """Transform the host CloudKey for device evaluation (NTT of each BK
-    polynomial's 16-bit limbs, per CRT prime)."""
+    polynomial's 8-bit limbs, per CRT prime)."""
     p = cloud.params
-    plan = ntt_mod.make_plan(p.N, max_operand=p.half_bg)
+    plan = _bootstrap_plan(p)
     bk_u = cloud.bk.astype(np.uint32)  # [n, rows, 2, N]
-    limbs = np.stack([bk_u & 0xFFFF, bk_u >> 16], axis=3).astype(np.int64)
+    limbs = np.stack(
+        [(bk_u >> (BK_LIMB_BITS * i)) & ((1 << BK_LIMB_BITS) - 1) for i in range(BK_LIMBS)],
+        axis=3,
+    ).astype(np.int64)
     # [n, rows, 2, limbs, N]
     bk_ntt = []
     for pi in range(len(plan.primes)):
@@ -177,9 +191,12 @@ def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
             s = prod.sum(axis=1)  # < rows * prime < 2^21, exact in int32
             s = ntt_mod._reduce_small(s, prime)
             conv.append(ntt_mod.intt_device(s, plan, pi))
-        lo = ntt_mod.crt_to_torus32([c[:, :, 0, :] for c in conv], plan)
-        hi = ntt_mod.crt_to_torus32([c[:, :, 1, :] for c in conv], plan)
-        return lo + (hi.astype(jnp.uint32) << np.uint32(16)).astype(jnp.int32)
+        out = None
+        for limb in range(BK_LIMBS):
+            v = ntt_mod.crt_to_torus32([c[:, :, limb, :] for c in conv], plan)
+            v = (v.astype(jnp.uint32) << np.uint32(BK_LIMB_BITS * limb)).astype(jnp.int32) if limb else v
+            out = v if out is None else out + v
+        return out
 
     def blind_rotate(abar, bbar, tv):
         acc_b = rotate(tv, (two_n - bbar) % two_n)
@@ -259,7 +276,7 @@ def bootstrap_host(cloud: CloudKey, ct: np.ndarray, testvect: np.ndarray) -> np.
     """Single-sample reference bootstrap in numpy int64 (exact)."""
     p = cloud.params
     N, n, l, bg_bit = p.N, p.n, p.l, p.bg_bit
-    plan = ntt_mod.make_plan(N, max_operand=p.half_bg)
+    plan = _bootstrap_plan(p)
     half_bg, mask = p.half_bg, p.bg - 1
     offset = sum((half_bg << (32 - (j + 1) * bg_bit)) for j in range(l)) & 0xFFFFFFFF
 
@@ -278,8 +295,8 @@ def bootstrap_host(cloud: CloudKey, ct: np.ndarray, testvect: np.ndarray) -> np.
         """digit poly x torus poly -> torus poly (exact via limbs + CRT)."""
         c_u = c.astype(np.uint32)
         out = np.zeros(N, dtype=np.int64)
-        for sh in (0, 16):
-            limb = ((c_u >> np.uint32(sh)) & np.uint32(0xFFFF)).astype(np.int64)
+        for sh in range(0, 32, BK_LIMB_BITS):
+            limb = ((c_u >> np.uint32(sh)) & np.uint32((1 << BK_LIMB_BITS) - 1)).astype(np.int64)
             residues = []
             for pi, prime in enumerate(plan.primes):
                 yd = ntt_mod.ntt_host(d % prime, plan, pi)

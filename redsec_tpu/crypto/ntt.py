@@ -58,14 +58,15 @@ def _primitive_root(p: int) -> int:
     raise ValueError(f"no primitive root for {p}")
 
 
-def primes_for(N: int, max_operand: int, limb_bits: int) -> Tuple[int, ...]:
+def primes_for(N: int, max_operand: int, limb_bits: int, accum: int = 1) -> Tuple[int, ...]:
     """Choose the minimal prime set whose product covers the exact convolution.
 
-    A product digit-poly x limb-poly has coefficients bounded by
-    ``N * max_operand * (2^limb_bits - 1)`` in absolute value; the CRT modulus
-    must exceed twice that (signed range).
+    A SUM of ``accum`` digit-poly x limb-poly products (the TGSW external
+    product accumulates all (k+1)*l rows in the NTT domain before leaving it)
+    has coefficients bounded by ``accum * N * max_operand * (2^limb_bits-1)``
+    in absolute value; the CRT modulus must exceed twice that (signed range).
     """
-    bound = 2 * N * max_operand * ((1 << limb_bits) - 1)
+    bound = 2 * accum * N * max_operand * ((1 << limb_bits) - 1)
     usable = [p for p in _CANDIDATE_PRIMES if (p - 1) % (2 * N) == 0]
     prod, chosen = 1, []
     for p in usable:
@@ -96,8 +97,8 @@ class NttPlan:
 
 
 @functools.lru_cache(maxsize=None)
-def make_plan(N: int, max_operand: int, limb_bits: int = 16) -> NttPlan:
-    primes = primes_for(N, max_operand, limb_bits)
+def make_plan(N: int, max_operand: int, limb_bits: int = 16, accum: int = 1) -> NttPlan:
+    primes = primes_for(N, max_operand, limb_bits, accum)
     stages = N.bit_length() - 1
     twist, untwist, fwd_tabs, inv_tabs = [], [], [], []
     for p in primes:

@@ -80,10 +80,15 @@ def load_prepared_key(path: str):
 
     d = np.load(path, allow_pickle=False)
     params = get_params(str(d["params"]))
-    plan = ntt_mod.make_plan(params.N, max_operand=params.half_bg)
+    from ..crypto.bootstrap import _bootstrap_plan
+
+    plan = _bootstrap_plan(params)
     bk_ntt = tuple(jnp.asarray(d[f"bk_ntt_{i}"]) for i in range(int(d["nprimes"])))
     if "ksk_limbs" not in d:
         raise ValueError("stale prepared-key cache (pre-ksk_limbs format); regenerate")
+    from ..crypto.bootstrap import BK_LIMBS
+    if d["bk_ntt_0"].shape[3] != BK_LIMBS:
+        raise ValueError("stale prepared-key cache (BK limb layout changed); regenerate")
     return DeviceCloudKey(
         params=params, plan=plan, bk_ntt=bk_ntt, ksk_limbs=jnp.asarray(d["ksk_limbs"])
     )

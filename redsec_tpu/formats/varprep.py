@@ -103,6 +103,18 @@ class VarPrepWriter:
     def __init__(self, out: Optional[BinaryIO] = None):
         self._buf = out if out is not None else io.BytesIO()
 
+    def write_tern_raw(self, sign: np.ndarray, tern: np.ndarray) -> None:
+        """Write a TERN section from explicit (sign, is_zero) bit planes.
+
+        The reference's weight converter stores the raw float sign bit even
+        for zeroed (ternary) weights (BinOps.cpp:348-358 + 393-415); use this
+        for byte-exact var_prep.dat reproduction."""
+        pairs = np.stack(
+            [np.asarray(sign, np.uint8) & 1, np.asarray(tern, np.uint8) & 1], axis=-1
+        ).reshape(-1)
+        self._buf.write(bytes([TERN_FMT]))
+        self._buf.write(np.packbits(pairs).tobytes())
+
     def write_tern(self, weights: np.ndarray) -> None:
         """Write a TERN section from int weights in {-1, 0, +1}.
 

@@ -159,7 +159,7 @@ struct NttPrime {
 struct Engine {
     Params prm;
     std::vector<NttPrime> primes;
-    // BK in NTT domain: [n][rows][2][limbs=2][nprimes][N] as i64
+    // BK in NTT domain: [n][rows][2][limbs=4][nprimes][N] as i64 (8-bit limbs)
     std::vector<i64> bk_ntt;
     // KSK raw: [N][t][base][n+1]
     std::vector<Torus32> ksk;
@@ -167,7 +167,7 @@ struct Engine {
     int rows;
 
     size_t bk_idx(int i, int r, int u, int limb, int pi) const {
-        return ((((size_t)i * rows + r) * 2 + u) * 2 + limb) * primes.size() + pi;
+        return ((((size_t)i * rows + r) * 2 + u) * 4 + limb) * primes.size() + pi;
     }
 };
 
@@ -201,7 +201,7 @@ void* cggi_engine_new(const int32_t* p_arr, const Torus32* bk, const Torus32* ks
 
     // prime selection: cover 2 * N * (Bg/2) * 65535 with primes = 1 mod 2N
     static const i64 cand[3] = {40961, 18433, 12289};
-    i64 bound = 2LL * P.N * (1LL << (P.bg_bit - 1)) * 65535LL;
+    i64 bound = 2LL * e->rows * P.N * (1LL << (P.bg_bit - 1)) * 255LL;
     i64 prod = 1;
     for (i64 c : cand) {
         if ((c - 1) % (2 * P.N) != 0) continue;
@@ -218,7 +218,7 @@ void* cggi_engine_new(const int32_t* p_arr, const Torus32* bk, const Torus32* ks
 
     // transform BK
     int np = (int)e->primes.size();
-    e->bk_ntt.assign((size_t)P.n * e->rows * 2 * 2 * np * P.N, 0);
+    e->bk_ntt.assign((size_t)P.n * e->rows * 2 * 4 * np * P.N, 0);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic)
 #endif
@@ -227,10 +227,10 @@ void* cggi_engine_new(const int32_t* p_arr, const Torus32* bk, const Torus32* ks
         for (int r = 0; r < e->rows; ++r)
             for (int u = 0; u < 2; ++u) {
                 const Torus32* poly = bk + (((size_t)i * e->rows + r) * 2 + u) * P.N;
-                for (int limb = 0; limb < 2; ++limb) {
+                for (int limb = 0; limb < 4; ++limb) {
                     for (int pi = 0; pi < np; ++pi) {
                         for (int j = 0; j < P.N; ++j)
-                            lbuf[j] = (u32(poly[j]) >> (16 * limb)) & 0xFFFF;
+                            lbuf[j] = (u32(poly[j]) >> (8 * limb)) & 0xFF;
                         e->primes[pi].fwd(lbuf.data());
                         i64* dst = &e->bk_ntt[e->bk_idx(i, r, u, limb, pi) * P.N];
                         std::memcpy(dst, lbuf.data(), P.N * sizeof(i64));
@@ -284,7 +284,7 @@ void cggi_bootstrap_batch(void* h, const Torus32* in, const Torus32* testvect,
 
         std::vector<Torus32> diff(2 * N);
         std::vector<i64> dig_ntt(N), conv(N);
-        std::vector<i64> acc_sum(2 * 2 * np * N);  // [u][limb][pi][N]
+        std::vector<i64> acc_sum(2 * 4 * np * N);  // [u][limb][pi][N]
 
         for (int i = 0; i < n; ++i) {
             int t = abar[i];
@@ -316,10 +316,10 @@ void cggi_bootstrap_batch(void* h, const Torus32* in, const Torus32* testvect,
                         }
                         e->primes[pi].fwd(dig_ntt.data());
                         for (int u_out = 0; u_out < 2; ++u_out)
-                            for (int limb = 0; limb < 2; ++limb) {
+                            for (int limb = 0; limb < 4; ++limb) {
                                 const i64* bkrow =
                                     &e->bk_ntt[e->bk_idx(i, r, u_out, limb, pi) * N];
-                                i64* dst = &acc_sum[(((size_t)u_out * 2 + limb) * np + pi) * N];
+                                i64* dst = &acc_sum[(((size_t)u_out * 4 + limb) * np + pi) * N];
                                 for (int k = 0; k < N; ++k)
                                     dst[k] = (dst[k] + dig_ntt[k] * bkrow[k]) % p;
                             }
@@ -328,11 +328,10 @@ void cggi_bootstrap_batch(void* h, const Torus32* in, const Torus32* testvect,
             }
             // inverse NTT + CRT + add to acc
             for (int u_out = 0; u_out < 2; ++u_out) {
-                for (int limb = 0; limb < 2; ++limb) {
-                    i64 vals0 = 0;
+                for (int limb = 0; limb < 4; ++limb) {
                     std::vector<std::vector<i64>> res(np, std::vector<i64>(N));
                     for (int pi = 0; pi < np; ++pi) {
-                        i64* src = &acc_sum[(((size_t)u_out * 2 + limb) * np + pi) * N];
+                        i64* src = &acc_sum[(((size_t)u_out * 4 + limb) * np + pi) * N];
                         std::memcpy(res[pi].data(), src, N * sizeof(i64));
                         e->primes[pi].inv(res[pi].data());
                     }
@@ -356,7 +355,7 @@ void cggi_bootstrap_batch(void* h, const Torus32* in, const Torus32* testvect,
                             v = (i64)(full & 0xFFFFFFFF);
                         }
                         acc[u_out * N + k] =
-                            Torus32(u32(acc[u_out * N + k]) + (u32)((u64)v << (16 * limb)));
+                            Torus32(u32(acc[u_out * N + k]) + (u32)((u64)v << (8 * limb)));
                     }
                 }
             }
