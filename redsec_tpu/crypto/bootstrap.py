@@ -261,6 +261,35 @@ def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
     return jax.jit(bootstrap)
 
 
+def make_chunked_bootstrap(dkey: DeviceCloudKey, chunk: int = 1024):
+    """Batched PBS with bounded working-set: batches larger than ``chunk`` are
+    processed as a ``lax.map`` over fixed-size slices (one compiled body,
+    sequential execution) so arbitrarily large activation tensors — e.g.
+    cifar/binarynet's 131k sign bootstraps in one layer — fit in HBM."""
+    pbs = make_batched_bootstrap(dkey)
+    N = dkey.params.N
+
+    def run(ct, testvect):
+        m = ct.shape[0]
+        if m <= chunk:
+            return pbs(ct, testvect)
+        tv = jnp.broadcast_to(
+            jnp.asarray(testvect, dtype=jnp.int32).reshape(-1, N), (m, N)
+        )
+        pad = (-m) % chunk
+        if pad:
+            ct = jnp.concatenate([ct, jnp.zeros((pad, ct.shape[1]), ct.dtype)])
+            tv = jnp.concatenate([tv, jnp.zeros((pad, N), tv.dtype)])
+        nc = ct.shape[0] // chunk
+        out = jax.lax.map(
+            lambda args: pbs(*args),
+            (ct.reshape(nc, chunk, -1), tv.reshape(nc, chunk, N)),
+        )
+        return out.reshape(nc * chunk, -1)[:m]
+
+    return run
+
+
 # --------------------------------------------------------------------------- #
 # Host reference (numpy, exact) — the test oracle for the device path         #
 # --------------------------------------------------------------------------- #

@@ -14,21 +14,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..crypto.bootstrap import DeviceCloudKey, make_batched_bootstrap
+from ..crypto.bootstrap import DeviceCloudKey, make_chunked_bootstrap
 from ..models.spec import Activation, ModelPlan
 from ..ops import encrypted as eops
 
 
 def build_encrypted_forward(
-    model: ModelPlan, dkey: DeviceCloudKey, jit: bool = True
+    model: ModelPlan, dkey: DeviceCloudKey, jit: bool = True, pbs_chunk: int = 1024
 ) -> Callable[[jax.Array], jax.Array]:
     """Build the encrypted forward: int32 [B, H, W, C, n+1] -> [B, classes, n+1].
 
     The returned function is a single jitted program; each sign/relu/maxpool
-    stage performs one batched bootstrap over all its activations.
+    stage performs one batched bootstrap over all its activations, processed
+    in ``pbs_chunk``-sized slices to bound the working set.
     """
     params = dkey.params
-    pbs_fn = make_batched_bootstrap(dkey)  # inlines when traced under jit
+    pbs_fn = make_chunked_bootstrap(dkey, chunk=pbs_chunk)
 
     def forward(x: jax.Array) -> jax.Array:
         for layer in model.layers:
