@@ -185,11 +185,18 @@ def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
             dmod = digits + np.int32(prime) * (digits < 0).astype(jnp.int32)
             dn = ntt_mod.ntt_device(dmod, plan, pi)  # [B, rows, N]
             bki = bk_round[pi].astype(jnp.int32)  # [rows, 2, limbs, N]
-            prod = ntt_mod._mulmod_device(
-                dn[:, :, None, None, :], bki[None, :, :, :, :], prime
-            )  # [B, rows, 2, limbs, N]
-            s = prod.sum(axis=1)  # < rows * prime < 2^21, exact in int32
-            s = ntt_mod._reduce_small(s, prime)
+            # lazy accumulation: raw int32 products (< p^2) summed in groups
+            # that fit int32, one Barrett reduction per group
+            group = max(1, (2**31 - 1) // ((prime - 1) ** 2))
+            partials = None
+            for g0 in range(0, rows, group):
+                g1 = min(g0 + group, rows)
+                raw = (
+                    dn[:, g0:g1, None, None, :] * bki[None, g0:g1, :, :, :]
+                ).sum(axis=1)  # [B, 2, limbs, N] < group * p^2 <= int32
+                red = ntt_mod._reduce_int32(raw, prime)
+                partials = red if partials is None else partials + red
+            s = ntt_mod._reduce_small(partials, prime)
             conv.append(ntt_mod.intt_device(s, plan, pi))
         out = None
         for limb in range(BK_LIMBS):

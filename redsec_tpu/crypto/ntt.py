@@ -33,8 +33,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Candidate primes (descending size keeps the prime count minimal).
-_CANDIDATE_PRIMES = (40961, 18433, 12289)
+# Candidate primes, ascending: smaller primes leave int32 headroom for lazy
+# accumulation of raw products in the external-product pointwise stage
+# (floor((2^31-1)/(p-1)^2) products can be summed before a reduction).
+_CANDIDATE_PRIMES = (12289, 18433, 40961)
 
 
 def _factorize(m: int):
@@ -227,6 +229,17 @@ def _mulmod_device(a, b, p: int):
     prod = a * b
     q = jnp.floor(a.astype(jnp.float32) * b.astype(jnp.float32) * np.float32(1.0 / p))
     r = prod - q.astype(jnp.int32) * np.int32(p)
+    r = jnp.where(r < 0, r + p, r)
+    r = jnp.where(r >= p, r - p, r)
+    return r
+
+
+def _reduce_int32(x, p: int):
+    """Reduce any x in [0, 2^31) to [0, p): the fp32 quotient estimate is off
+    by at most 1 (abs error < 0.04 for p >= 12289), fixed by two conditional
+    corrections; q*p may wrap int32 but x - q*p is still exact."""
+    q = jnp.floor(x.astype(jnp.float32) * np.float32(1.0 / p)).astype(jnp.int32)
+    r = x - q * np.int32(p)
     r = jnp.where(r < 0, r + p, r)
     r = jnp.where(r >= p, r - p, r)
     return r
