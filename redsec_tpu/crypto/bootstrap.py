@@ -121,15 +121,14 @@ def function_test_vector(params: TfheParams, fn: Callable[[np.ndarray], np.ndarr
 # --------------------------------------------------------------------------- #
 
 
-def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
-    """Build the jitted batched PBS: (ct [B, n+1], testvect [N] or [B, N])
-    -> ct [B, n+1].
+def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
+    """Build the un-jitted batched PBS implementation:
+    ``impl(bk_ntt, ksk_limbs, ct [B, n+1], testvect [N]|[B, N]) -> [B, n+1]``.
 
-    One call performs B independent bootstraps; the caller vmaps nothing —
-    batching is native.
+    The evaluation key is threaded as runtime arguments (NOT closure
+    constants): baked-in constants blow up the serialized HLO by the key size
+    (~330 MB), which breaks remote-compile backends and slows compilation.
     """
-    p = dkey.params
-    plan = dkey.plan
     N, n, l, bg_bit = p.N, p.n, p.l, p.bg_bit
     two_n = 2 * N
     rows = p.decomp_rows
@@ -205,7 +204,7 @@ def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
             out = v if out is None else out + v
         return out
 
-    def blind_rotate(abar, bbar, tv):
+    def blind_rotate(abar, bbar, tv, bk_ntt):
         acc_b = rotate(tv, (two_n - bbar) % two_n)
         acc = jnp.stack([jnp.zeros_like(acc_b), acc_b], axis=1)  # [B, 2, N]
 
@@ -215,7 +214,7 @@ def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
             diff = rot - acc
             bk_round = tuple(
                 jax.lax.dynamic_index_in_dim(bk, i, axis=0, keepdims=False)
-                for bk in dkey.bk_ntt
+                for bk in bk_ntt
             )
             return acc + external_delta(diff, bk_round)
 
@@ -231,7 +230,7 @@ def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
         [32 - (j + 1) * ks_basebit for j in range(ks_t)], dtype=np.uint32
     )
 
-    def key_switch(a_n, b_n):
+    def key_switch(a_n, b_n, ksk_limbs):
         """Digit-decompose the extracted mask and subtract the selected KSK
         rows.  The row selection is a one-hot [B, N*t*base] int8 matrix
         multiplied against the int8-limb table on the MXU — replacing a
@@ -245,7 +244,7 @@ def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
         ssum = None
         for i in range(4):
             part = jax.lax.dot_general(
-                oh, dkey.ksk_limbs[i],
+                oh, ksk_limbs[i],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [B, n+1]
@@ -255,31 +254,44 @@ def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
         out = out.at[:, n].add(b_n)
         return out
 
-    def bootstrap(ct, testvect):
+    def bootstrap_impl(bk_ntt, ksk_limbs, ct, testvect):
         abar = mod_switch(ct[:, :n])
         bbar = mod_switch(ct[:, n])
         tv = jnp.broadcast_to(
             jnp.asarray(testvect, dtype=jnp.int32).reshape(-1, N), (ct.shape[0], N)
         )
-        acc = blind_rotate(abar, bbar, tv)
+        acc = blind_rotate(abar, bbar, tv, bk_ntt)
         a_n, b_n = sample_extract(acc)
-        return key_switch(a_n, b_n)
+        return key_switch(a_n, b_n, ksk_limbs)
 
-    return jax.jit(bootstrap)
+    return bootstrap_impl
 
 
-def make_chunked_bootstrap(dkey: DeviceCloudKey, chunk: int = 1024):
-    """Batched PBS with bounded working-set: batches larger than ``chunk`` are
-    processed as a ``lax.map`` over fixed-size slices (one compiled body,
-    sequential execution) so arbitrarily large activation tensors — e.g.
-    cifar/binarynet's 131k sign bootstraps in one layer — fit in HBM."""
-    pbs = make_batched_bootstrap(dkey)
-    N = dkey.params.N
+def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
+    """Jitted batched PBS bound to a device key:
+    ``(ct [B, n+1], testvect [N]|[B, N]) -> [B, n+1]``."""
+    impl = make_bootstrap_impl(dkey.params, dkey.plan, unroll)
+    jitted = jax.jit(impl)
 
-    def run(ct, testvect):
+    def bootstrap(ct, testvect):
+        return jitted(dkey.bk_ntt, dkey.ksk_limbs, ct, testvect)
+
+    bootstrap.impl = impl  # for callers composing larger jits
+    return bootstrap
+
+
+def make_chunked_impl(p: TfheParams, plan: ntt_mod.NttPlan, chunk: int = 1024):
+    """Un-jitted chunked PBS: batches larger than ``chunk`` run as a
+    ``lax.map`` over fixed-size slices (one compiled body, sequential) so
+    arbitrarily large activation tensors — e.g. cifar/binarynet's 131k sign
+    bootstraps in one layer — fit in HBM."""
+    impl = make_bootstrap_impl(p, plan)
+    N = p.N
+
+    def run(bk_ntt, ksk_limbs, ct, testvect):
         m = ct.shape[0]
         if m <= chunk:
-            return pbs(ct, testvect)
+            return impl(bk_ntt, ksk_limbs, ct, testvect)
         tv = jnp.broadcast_to(
             jnp.asarray(testvect, dtype=jnp.int32).reshape(-1, N), (m, N)
         )
@@ -289,11 +301,23 @@ def make_chunked_bootstrap(dkey: DeviceCloudKey, chunk: int = 1024):
             tv = jnp.concatenate([tv, jnp.zeros((pad, N), tv.dtype)])
         nc = ct.shape[0] // chunk
         out = jax.lax.map(
-            lambda args: pbs(*args),
+            lambda args: impl(bk_ntt, ksk_limbs, *args),
             (ct.reshape(nc, chunk, -1), tv.reshape(nc, chunk, N)),
         )
         return out.reshape(nc * chunk, -1)[:m]
 
+    return run
+
+
+def make_chunked_bootstrap(dkey: DeviceCloudKey, chunk: int = 1024):
+    """Chunked PBS bound to a device key (jitted per batch shape)."""
+    impl = make_chunked_impl(dkey.params, dkey.plan, chunk)
+    jitted = jax.jit(impl)
+
+    def run(ct, testvect):
+        return jitted(dkey.bk_ntt, dkey.ksk_limbs, ct, testvect)
+
+    run.impl = impl
     return run
 
 

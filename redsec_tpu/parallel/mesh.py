@@ -41,18 +41,29 @@ def shard_ciphertext_batch(ct: jax.Array, mesh: Mesh) -> jax.Array:
 
 
 def build_dp_encrypted_forward(model, dkey, mesh: Mesh):
-    """Data-parallel whole-model encrypted forward: batch sharded over dp.
+    """Data-parallel whole-model encrypted forward: batch sharded over dp,
+    evaluation key replicated.
 
     Every stage is batch-elementwise (including the bootstraps), so the SPMD
     partitioner runs the full pipeline without cross-device communication;
     scaling efficiency is limited only by the replicated-key HBM footprint.
     """
-    from ..runtime.encrypted import build_encrypted_forward
+    from ..runtime.encrypted import build_forward_impl
 
-    fwd = build_encrypted_forward(model, dkey, jit=False)
-    in_spec = NamedSharding(mesh, P("dp", None, None, None, None))
+    impl = build_forward_impl(model, dkey.params, dkey.plan)
+    repl = NamedSharding(mesh, P())
+    key_specs = (
+        tuple(repl for _ in dkey.bk_ntt),  # bk_ntt tuple
+        repl,  # ksk_limbs
+    )
+    in_spec = (*key_specs, NamedSharding(mesh, P("dp", None, None, None, None)))
     out_spec = NamedSharding(mesh, P("dp", None, None))
-    return jax.jit(fwd, in_shardings=in_spec, out_shardings=out_spec)
+    jitted = jax.jit(impl, in_shardings=in_spec, out_shardings=out_spec)
+
+    def forward(x):
+        return jitted(dkey.bk_ntt, dkey.ksk_limbs, x)
+
+    return forward
 
 
 def fc_sign_tp(x_ct: jax.Array, weights: np.ndarray, bias: np.ndarray,
@@ -65,12 +76,12 @@ def fc_sign_tp(x_ct: jax.Array, weights: np.ndarray, bias: np.ndarray,
     neurons are re-sharded over tp so each device bootstraps O/tp of them.
     Returns [B, O, R] sharded (dp, tp).
     """
-    from ..crypto.bootstrap import const_test_vector, make_batched_bootstrap
+    from ..crypto.bootstrap import const_test_vector, make_bootstrap_impl
     from ..crypto.torus import mod_switch_to_torus32
     from ..ops.encrypted import ternary_matmul_ct
 
     params = dkey.params
-    pbs = make_batched_bootstrap(dkey)
+    pbs_impl = make_bootstrap_impl(params, dkey.plan)
     tp = mesh.shape["tp"]
     O = weights.shape[1]
     assert O % tp == 0, (O, tp)
@@ -78,7 +89,7 @@ def fc_sign_tp(x_ct: jax.Array, weights: np.ndarray, bias: np.ndarray,
     bias_mu = jnp.asarray(mod_switch_to_torus32(bias, params.msg_space), jnp.int32)
     tv = jnp.asarray(const_test_vector(params, 1, params.msg_space))
 
-    def body(x_local, w_local, bias_mu_all):
+    def body(x_local, w_local, bias_mu_all, bk_ntt, ksk_limbs):
         # x_local [B/dp, K/tp, R]; w_local [K/tp, O]
         part = ternary_matmul_ct(x_local[:, None], w_local)[:, 0]  # [B/dp, O, R]
         full = jax.lax.psum(part, "tp")  # fan-in combine over ICI
@@ -89,12 +100,13 @@ def fc_sign_tp(x_ct: jax.Array, weights: np.ndarray, bias: np.ndarray,
         mu = jax.lax.dynamic_slice_in_dim(bias_mu_all, ti * chunk, chunk)
         mine = mine.at[..., -1].add(mu)
         b_local = mine.shape[0]
-        out = pbs(mine.reshape(-1, mine.shape[-1]), tv)
+        out = pbs_impl(bk_ntt, ksk_limbs, mine.reshape(-1, mine.shape[-1]), tv)
         return out.reshape(b_local, chunk, -1)
 
     shard = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P("dp", "tp", None), P("tp", None), P()),
+        in_specs=(P("dp", "tp", None), P("tp", None), P(),
+                  tuple(P() for _ in dkey.bk_ntt), P()),
         out_specs=P("dp", "tp", None),
     )
-    return shard(x_ct, w_dev, bias_mu)
+    return shard(x_ct, w_dev, bias_mu, dkey.bk_ntt, dkey.ksk_limbs)

@@ -14,24 +14,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..crypto.bootstrap import DeviceCloudKey, make_chunked_bootstrap
+from ..crypto.bootstrap import DeviceCloudKey, make_chunked_impl
 from ..models.spec import Activation, ModelPlan
 from ..ops import encrypted as eops
 
 
-def build_encrypted_forward(
-    model: ModelPlan, dkey: DeviceCloudKey, jit: bool = True, pbs_chunk: int = 1024
-) -> Callable[[jax.Array], jax.Array]:
-    """Build the encrypted forward: int32 [B, H, W, C, n+1] -> [B, classes, n+1].
+def build_forward_impl(
+    model: ModelPlan, params, plan, pbs_chunk: int = 1024
+) -> Callable:
+    """Un-jitted encrypted forward taking the evaluation key as arguments:
+    ``impl(bk_ntt, ksk_limbs, x [B,H,W,C,n+1]) -> [B, classes, n+1]``.
 
-    The returned function is a single jitted program; each sign/relu/maxpool
-    stage performs one batched bootstrap over all its activations, processed
-    in ``pbs_chunk``-sized slices to bound the working set.
+    Keys must be runtime arguments, not closure constants — constants embed
+    the ~330 MB key into the serialized HLO (see crypto/bootstrap.py).
     """
-    params = dkey.params
-    pbs_fn = make_chunked_bootstrap(dkey, chunk=pbs_chunk)
+    pbs_impl = make_chunked_impl(params, plan, chunk=pbs_chunk)
 
-    def forward(x: jax.Array) -> jax.Array:
+    def forward(bk_ntt, ksk_limbs, x: jax.Array) -> jax.Array:
+        def pbs_fn(ct, tv):
+            return pbs_impl(bk_ntt, ksk_limbs, ct, tv)
+
         for layer in model.layers:
             if layer.conv is not None:
                 x = eops.conv_enc(layer.conv, x, params.msg_space)
@@ -48,7 +50,22 @@ def build_encrypted_forward(
                 x = eops.maxpool_enc(layer.maxpool, x, pbs_fn, params)
         return x.reshape(x.shape[0], -1, x.shape[-1])
 
-    return jax.jit(forward) if jit else forward
+    return forward
+
+
+def build_encrypted_forward(
+    model: ModelPlan, dkey: DeviceCloudKey, jit: bool = True, pbs_chunk: int = 1024
+) -> Callable[[jax.Array], jax.Array]:
+    """Encrypted forward bound to a device key:
+    int32 [B, H, W, C, n+1] -> [B, classes, n+1] in one jitted program."""
+    impl = build_forward_impl(model, dkey.params, dkey.plan, pbs_chunk)
+    fn = jax.jit(impl) if jit else impl
+
+    def forward(x: jax.Array) -> jax.Array:
+        return fn(dkey.bk_ntt, dkey.ksk_limbs, x)
+
+    forward.impl = impl
+    return forward
 
 
 def encrypt_images(sk, images: np.ndarray, params, rng=None) -> np.ndarray:
