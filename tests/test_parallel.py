@@ -1,0 +1,75 @@
+"""Multi-chip sharding: sharded execution must equal single-device results."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from redsec_tpu.crypto import bootstrap as bs
+from redsec_tpu.crypto import keygen as kg
+from redsec_tpu.crypto import lwe
+from redsec_tpu.crypto.params import TEST_NOISELESS
+from redsec_tpu.parallel.mesh import (
+    build_dp_encrypted_forward,
+    fc_sign_tp,
+    make_mesh,
+    shard_ciphertext_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def env():
+    sk, cloud = kg.keygen(TEST_NOISELESS, seed=31)
+    dkey = bs.prepare_cloud_key(cloud)
+    return sk, dkey
+
+
+def test_dp_forward_matches_single_device(env):
+    from test_encrypted_ops import make_mini_sign_net
+    from redsec_tpu.models.spec import prep_model
+    from redsec_tpu.runtime.encrypted import build_encrypted_forward, encrypt_images
+
+    sk, dkey = env
+    rng = np.random.default_rng(0)
+    spec, blob = make_mini_sign_net(rng)
+    plan = prep_model(spec, blob)
+    x = rng.integers(-15, 16, size=(8, 8, 8, 1)).astype(np.int32)
+    ct = jnp.asarray(encrypt_images(sk, x, TEST_NOISELESS, rng))
+
+    single = np.asarray(build_encrypted_forward(plan, dkey)(ct))
+
+    mesh = make_mesh(8, tp=2)
+    sharded = build_dp_encrypted_forward(plan, dkey, mesh)
+    got = np.asarray(sharded(shard_ciphertext_batch(ct, mesh)))
+    np.testing.assert_array_equal(got, single)
+
+
+def test_tp_fc_sign_matches_single_device(env):
+    sk, dkey = env
+    params = TEST_NOISELESS
+    rng = np.random.default_rng(1)
+    B, K, O = 8, 32, 16
+    w = rng.choice([-1, 0, 1], size=(K, O)).astype(np.int8)
+    bias = rng.integers(-3, 4, size=O).astype(np.int32)
+    bits = rng.choice([-1, 1], size=(B, K))
+    x_ct = jnp.asarray(lwe.encrypt_integers(sk.lwe_key, bits, params, rng))
+
+    # single-device oracle
+    from redsec_tpu.crypto.bootstrap import const_test_vector, make_batched_bootstrap
+    from redsec_tpu.crypto.torus import mod_switch_to_torus32
+    from redsec_tpu.ops.encrypted import ternary_matmul_ct
+
+    full = np.array(ternary_matmul_ct(x_ct[:, None], jnp.asarray(w, jnp.int8))[:, 0])
+    full[..., -1] = (full[..., -1] + mod_switch_to_torus32(bias, params.msg_space)).astype(np.int32)
+    pbs = make_batched_bootstrap(dkey)
+    tv = const_test_vector(params, 1, params.msg_space)
+    want = np.asarray(pbs(jnp.asarray(full.reshape(-1, full.shape[-1])), jnp.asarray(tv)))
+    want = want.reshape(B, O, -1)
+
+    mesh = make_mesh(8, tp=2)
+    x_sharded = jax.device_put(
+        x_ct, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp", "tp", None))
+    )
+    got = np.asarray(fc_sign_tp(x_sharded, w, bias, dkey, mesh))
+    np.testing.assert_array_equal(got, want)
