@@ -70,21 +70,31 @@ def _bootstrap_plan(p: TfheParams) -> ntt_mod.NttPlan:
     )
 
 
-def prepare_cloud_key(cloud: CloudKey) -> DeviceCloudKey:
+def prepare_cloud_key(cloud: CloudKey, chunk: int = 32) -> DeviceCloudKey:
     """Transform the host CloudKey for device evaluation (NTT of each BK
-    polynomial's 8-bit limbs, per CRT prime)."""
+    polynomial's 8-bit limbs, per CRT prime).
+
+    The forward transforms run through the jitted device NTT in chunks of
+    ``chunk`` key bits (vectorized, ~10x the numpy int64 path; chunking
+    bounds the transform working set)."""
     p = cloud.params
     plan = _bootstrap_plan(p)
     bk_u = cloud.bk.astype(np.uint32)  # [n, rows, 2, N]
     limbs = np.stack(
         [(bk_u >> (BK_LIMB_BITS * i)) & ((1 << BK_LIMB_BITS) - 1) for i in range(BK_LIMBS)],
         axis=3,
-    ).astype(np.int64)
+    ).astype(np.int32)
     # [n, rows, 2, limbs, N]
+    fns = [
+        jax.jit(lambda v, pi=pi: ntt_mod.ntt_device(v, plan, pi).astype(jnp.uint16))
+        for pi in range(len(plan.primes))
+    ]
     bk_ntt = []
     for pi in range(len(plan.primes)):
-        res = ntt_mod.ntt_host(limbs, plan, pi)
-        bk_ntt.append(jnp.asarray(res.astype(np.uint16)))
+        parts = []
+        for i0 in range(0, p.n, chunk):
+            parts.append(np.asarray(fns[pi](jnp.asarray(limbs[i0 : i0 + chunk]))))
+        bk_ntt.append(jnp.asarray(np.concatenate(parts, axis=0)))
     ksk_limbs = jnp.asarray(
         _int8_limbs_np(cloud.ksk.reshape(-1, p.n + 1).astype(np.int32))
     )
