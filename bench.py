@@ -41,22 +41,30 @@ def main():
     pbs = bs.make_batched_bootstrap(dkey)
 
     rng = np.random.default_rng(0)
-    vals = rng.integers(-1500, 1500, size=batch)
-    ct = jnp.asarray(lwe.encrypt_integers(sk.lwe_key, vals, params, rng))
+    # distinct inputs per iteration: identical repeated calls can be served
+    # from result caches on remote-execution backends
+    vals = rng.integers(-1500, 1500, size=(iters + 1, batch))
+    cts = [
+        jnp.asarray(lwe.encrypt_integers(sk.lwe_key, v, params, rng)) for v in vals
+    ]
     tv = jnp.asarray(bs.const_test_vector(params, 1, params.msg_space))
 
-    out = pbs(ct, tv)  # compile + warm up
+    out = pbs(cts[-1], tv)  # compile + warm up
     out.block_until_ready()
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pbs(ct, tv)
-    out.block_until_ready()
+    outs = [pbs(cts[i], tv) for i in range(iters)]
+    for o in outs:
+        o.block_until_ready()
     dt = time.perf_counter() - t0
 
-    # correctness spot check
-    dec = lwe.decrypt_integers(sk.lwe_key, np.asarray(out), params)
-    ok = float((dec == np.where(vals >= 0, 1, -1)).mean())
+    # correctness spot check over every iteration's outputs
+    ok_all = [
+        (lwe.decrypt_integers(sk.lwe_key, np.asarray(outs[i]), params)
+         == np.where(vals[i] >= 0, 1, -1)).mean()
+        for i in range(iters)
+    ]
+    ok = float(np.mean(ok_all))
 
     rate = batch * iters / dt
     print(json.dumps({

@@ -44,7 +44,7 @@ class DeviceCloudKey:
     params: TfheParams
     plan: ntt_mod.NttPlan
     bk_ntt: Tuple[jax.Array, ...]  # per prime: uint16 [n, rows, 2, limbs, N]
-    ksk_limbs: jax.Array  # int8 [4, N * t * base, n+1]
+    ksk_limbs: jax.Array  # int8 [4, N * t, n+1] (multiply-form KSK)
 
 
 def _int8_limbs_np(x: np.ndarray):
@@ -241,20 +241,17 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     )
 
     def key_switch(a_n, b_n, ksk_limbs):
-        """Digit-decompose the extracted mask and subtract the selected KSK
-        rows.  The row selection is a one-hot [B, N*t*base] int8 matrix
-        multiplied against the int8-limb table on the MXU — replacing a
-        13 MB/sample gather with ~26 GMAC int8 matmuls."""
+        """Digit-decompose the extracted mask and subtract digit-scaled KSK
+        rows: one [B, N*t] digit matrix x int8-limb-table matmul per limb on
+        the MXU (multiply-form KSK, see keygen.make_keyswitch_key).
+        Accumulation bound: N*t * 7 * 127 < 2^24 — exact in int32."""
         u = a_n.astype(jnp.uint32) + np.uint32(prec_offset)
         dig = (u[:, :, None] >> ks_shifts[None, None, :]) & np.uint32(ks_base - 1)
-        onehot = (
-            dig[:, :, :, None] == jnp.arange(ks_base, dtype=jnp.uint32)[None, None, None, :]
-        ).astype(jnp.int8)  # [B, N, t, base]
-        oh = onehot.reshape(onehot.shape[0], -1)  # [B, N*t*base]
+        dig = dig.astype(jnp.int8).reshape(a_n.shape[0], -1)  # [B, N*t]
         ssum = None
         for i in range(4):
             part = jax.lax.dot_general(
-                oh, ksk_limbs[i],
+                dig, ksk_limbs[i],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [B, n+1]
@@ -406,5 +403,6 @@ def bootstrap_host(cloud: CloudKey, ct: np.ndarray, testvect: np.ndarray) -> np.
         u = (int(a_ext[i]) & 0xFFFFFFFF) + prec
         for j in range(t):
             dig = (u >> (32 - (j + 1) * basebit)) & (base - 1)
-            out = (out - cloud.ksk[i, j, dig]).astype(np.int32)
+            # multiply-form KSK: subtract digit * ksk[i, j] (int32 wraparound)
+            out = (out.astype(np.int64) - dig * cloud.ksk[i, j].astype(np.int64)).astype(np.int32)
     return out

@@ -44,7 +44,7 @@ class SecretKey:
 class CloudKey:
     params: TfheParams
     bk: np.ndarray  # int32 [n, (k+1)l, k+1, N] — TGSW(s_i) coefficient domain
-    ksk: np.ndarray  # int32 [N, t, base, n+1]
+    ksk: np.ndarray  # int32 [N, t, n+1] (multiply-form, v=1 plane)
 
 
 def negacyclic_mul_binary_host(a: np.ndarray, key: np.ndarray, N: int) -> np.ndarray:
@@ -114,19 +114,22 @@ def make_keyswitch_key(
     params: TfheParams, extracted_key: np.ndarray, lwe_key: np.ndarray,
     rng: np.random.Generator,
 ) -> np.ndarray:
-    N, t, base, n = params.N, params.ks_t, params.ks_base, params.n
+    """Multiply-form key-switching key: ``ksk[i, j] = LWE_n(K_i * 2^(32-(j+1)*basebit))``.
+
+    TFHE v1.1 tabulates all ``base`` digit values per (i, j) to avoid
+    scalar-ciphertext multiplies; we store only the v=1 plane and multiply by
+    the digit during switching — 8x smaller key and an MXU-friendly digit
+    matmul, at the cost of noise scaled by E[digit] (still ~2^-16, far under
+    the message slot; the mod-switch rounding noise dominates regardless).
+    """
+    N, t, n = params.N, params.ks_t, params.n
     shifts = (32 - (np.arange(1, t + 1)) * params.ks_basebit).astype(np.uint64)
-    v = np.arange(base, dtype=np.uint64)
-    # messages [N, t, base] = v * K_i * 2^(32-(j+1)*basebit) mod 2^32
-    msg = (
-        extracted_key.astype(np.uint64)[:, None, None]
-        * v[None, None, :]
-        << shifts[None, :, None]
-    )
+    # messages [N, t] = K_i * 2^(32-(j+1)*basebit) mod 2^32
+    msg = (extracted_key.astype(np.uint64)[:, None] << shifts[None, :])
     msg = msg.astype(np.uint32).astype(np.int32)
-    a = rng.integers(0, 1 << 32, size=(N, t, base, n), dtype=np.uint64)
+    a = rng.integers(0, 1 << 32, size=(N, t, n), dtype=np.uint64)
     a = a.astype(np.uint32).astype(np.int32)
-    e = gaussian_torus32(rng, params.alpha_ks, (N, t, base))
+    e = gaussian_torus32(rng, params.alpha_ks, (N, t))
     b = (a.astype(np.int64) * lwe_key.astype(np.int64)).sum(-1).astype(np.int32)
     b = (b + msg + e).astype(np.int32)
     return np.concatenate([a, b[..., None]], axis=-1)

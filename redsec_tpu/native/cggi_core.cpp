@@ -161,7 +161,7 @@ struct Engine {
     std::vector<NttPrime> primes;
     // BK in NTT domain: [n][rows][2][limbs=4][nprimes][N] as i64 (8-bit limbs)
     std::vector<i64> bk_ntt;
-    // KSK raw: [N][t][base][n+1]
+    // KSK raw (multiply-form): [N][t][n+1]
     std::vector<Torus32> ksk;
     u32 dec_offset;
     int rows;
@@ -187,7 +187,7 @@ extern "C" {
 
 // Create an evaluation engine from raw key material.
 //  bk:  int32 [n][rows][2][N]   (TGSW bootstrapping key, coefficient domain)
-//  ksk: int32 [N][t][base][n+1]
+//  ksk: int32 [N][t][n+1]  (multiply-form, v=1 plane)
 void* cggi_engine_new(const int32_t* p_arr, const Torus32* bk, const Torus32* ksk) {
     Engine* e = new Engine();
     e->prm.n = p_arr[0];
@@ -200,7 +200,7 @@ void* cggi_engine_new(const int32_t* p_arr, const Torus32* bk, const Torus32* ks
     e->rows = 2 * P.l;
 
     // prime selection: cover 2 * N * (Bg/2) * 65535 with primes = 1 mod 2N
-    static const i64 cand[3] = {40961, 18433, 12289};
+    static const i64 cand[3] = {12289, 18433, 40961};
     i64 bound = 2LL * e->rows * P.N * (1LL << (P.bg_bit - 1)) * 255LL;
     i64 prod = 1;
     for (i64 c : cand) {
@@ -239,7 +239,7 @@ void* cggi_engine_new(const int32_t* p_arr, const Torus32* bk, const Torus32* ks
             }
     }
 
-    size_t ksk_len = (size_t)P.N * P.ks_t * (1 << P.ks_basebit) * (P.n + 1);
+    size_t ksk_len = (size_t)P.N * P.ks_t * (P.n + 1);
     e->ksk.assign(ksk, ksk + ksk_len);
     return e;
 }
@@ -374,10 +374,11 @@ void cggi_bootstrap_batch(void* h, const Torus32* in, const Torus32* testvect,
         for (int i = 0; i < N; ++i) {
             u32 ai = u32(a_ext[i]) + prec;
             for (int j = 0; j < P.ks_t; ++j) {
-                u32 d = (ai >> (32 - (j + 1) * P.ks_basebit)) & (base - 1);
-                const Torus32* row =
-                    &e->ksk[(((size_t)i * P.ks_t + j) * base + d) * (n + 1)];
-                for (int k = 0; k <= n; ++k) o[k] -= row[k];
+                Torus32 d = Torus32((ai >> (32 - (j + 1) * P.ks_basebit)) & (base - 1));
+                if (d == 0) continue;
+                const Torus32* row = &e->ksk[((size_t)i * P.ks_t + j) * (n + 1)];
+                for (int k = 0; k <= n; ++k)
+                    o[k] = Torus32(u32(o[k]) - u32(d) * u32(row[k]));
             }
         }
     }
