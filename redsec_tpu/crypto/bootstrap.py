@@ -70,31 +70,37 @@ def _bootstrap_plan(p: TfheParams) -> ntt_mod.NttPlan:
     )
 
 
-def prepare_cloud_key(cloud: CloudKey, chunk: int = 32) -> DeviceCloudKey:
+def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
     """Transform the host CloudKey for device evaluation (NTT of each BK
     polynomial's 8-bit limbs, per CRT prime).
 
-    The forward transforms run through the jitted device NTT in chunks of
-    ``chunk`` key bits (vectorized, ~10x the numpy int64 path; chunking
-    bounds the transform working set)."""
+    Only the RAW coefficient-domain key crosses host->device (~57 MB for
+    small_v2 — tunnel/DCN friendly); the limb split and forward NTTs run
+    on-device, in ``chunk``-sized slices of key bits to bound the working set.
+    """
     p = cloud.params
     plan = _bootstrap_plan(p)
-    bk_u = cloud.bk.astype(np.uint32)  # [n, rows, 2, N]
-    limbs = np.stack(
-        [(bk_u >> (BK_LIMB_BITS * i)) & ((1 << BK_LIMB_BITS) - 1) for i in range(BK_LIMBS)],
-        axis=3,
-    ).astype(np.int32)
-    # [n, rows, 2, limbs, N]
-    fns = [
-        jax.jit(lambda v, pi=pi: ntt_mod.ntt_device(v, plan, pi).astype(jnp.uint16))
-        for pi in range(len(plan.primes))
-    ]
-    bk_ntt = []
-    for pi in range(len(plan.primes)):
-        parts = []
-        for i0 in range(0, p.n, chunk):
-            parts.append(np.asarray(fns[pi](jnp.asarray(limbs[i0 : i0 + chunk]))))
-        bk_ntt.append(jnp.asarray(np.concatenate(parts, axis=0)))
+    bk_dev = jnp.asarray(cloud.bk.astype(np.int32))  # [n, rows, 2, N]
+
+    @jax.jit
+    def transform_chunk(bk):
+        u = bk.astype(jnp.uint32)
+        limbs = jnp.stack(
+            [((u >> np.uint32(BK_LIMB_BITS * i)) & np.uint32((1 << BK_LIMB_BITS) - 1)).astype(jnp.int32)
+             for i in range(BK_LIMBS)],
+            axis=3,
+        )  # [chunk, rows, 2, limbs, N]
+        return tuple(
+            ntt_mod.ntt_device(limbs, plan, pi).astype(jnp.uint16)
+            for pi in range(len(plan.primes))
+        )
+
+    parts = [[] for _ in plan.primes]
+    for i0 in range(0, p.n, chunk):
+        res = transform_chunk(bk_dev[i0 : i0 + chunk])
+        for pi, r in enumerate(res):
+            parts[pi].append(r)
+    bk_ntt = tuple(jnp.concatenate(ps, axis=0) for ps in parts)
     ksk_limbs = jnp.asarray(
         _int8_limbs_np(cloud.ksk.reshape(-1, p.n + 1).astype(np.int32))
     )
