@@ -31,6 +31,17 @@ import time
 import numpy as np
 
 
+def _parse_rows(spec: str):
+    out = []
+    for part in spec.split(","):
+        if ":" in part:
+            a, b = part.split(":")
+            out.extend(range(int(a), int(b)))
+        else:
+            out.append(int(part))
+    return out
+
+
 def _cpu_jax():
     import jax
 
@@ -60,15 +71,20 @@ def cmd_encrypt_image(args):
     sk = kio.load_secret_key(args.secret)
     if args.image_ptxt:
         label, px = image_io.read_image_ptxt(args.image_ptxt)
+        px = px[None]
+        labels = [label]
     else:
         h, w, c = (28, 28, 1) if "mnist" in args.model else (32, 32, 3)
-        labels, imgs = image_io.load_csv_dataset(args.csv, h, w, c, limit=args.row + 1)
-        label, px = int(labels[args.row]), imgs[args.row]
+        rows = _parse_rows(args.rows if args.rows else str(args.row))
+        labels_all, imgs = image_io.load_csv_dataset(args.csv, h, w, c,
+                                                     limit=max(rows) + 1)
+        labels = [int(labels_all[r]) for r in rows]
+        px = imgs[rows]
     x = image_io.pixel_transform_for(args.model)(px)
     rng = np.random.default_rng(args.seed)
     ct = lwe.encrypt_integers(sk.lwe_key, x, sk.params, rng)
-    kio.save_ciphertexts(args.out, ct, sk.params, label=label)
-    print(f"encrypted {x.shape} image (label {label}) -> {args.out}")
+    kio.save_ciphertexts(args.out, ct, sk.params, label=labels[0])
+    print(f"encrypted {x.shape[0]} image(s) {x.shape} (labels {labels}) -> {args.out}")
 
 
 def cmd_run_encrypted(args):
@@ -88,12 +104,12 @@ def cmd_run_encrypted(args):
     plan = prep_model(get_model(args.model), args.weights)
     ct, params, label = kio.load_ciphertexts(args.image)
     d = plan.in_dim
-    ct = ct.reshape(1, d.h, d.w, d.in_dep, -1)
+    ct = ct.reshape(-1, d.h, d.w, d.in_dep, ct.shape[-1])
     fwd = build_encrypted_forward(plan, dkey)
     t0 = time.time()
     scores = np.asarray(fwd(jnp.asarray(ct)))
     dt = time.time() - t0
-    kio.save_ciphertexts(args.out, scores[0], params, label=label)
+    kio.save_ciphertexts(args.out, scores, params, label=label)
     print(f"Inference Time: {dt:.2f} seconds")  # matches reference's print (main.cu:72-78)
     print(f"encrypted scores -> {args.out}")
 
@@ -104,11 +120,13 @@ def cmd_decrypt_image(args):
 
     sk = kio.load_secret_key(args.secret)
     ct, params, label = kio.load_ciphertexts(args.output)
-    scores = decrypt_scores(sk, ct[None], sk.params)[0]
-    pred = int(scores.argmax())
-    print(f"Classification Result: {pred}")  # client/decrypt_image.cpp:63
+    if ct.ndim == 2:
+        ct = ct[None]
+    scores = decrypt_scores(sk, ct, sk.params)
+    for srow in scores:
+        print(f"Classification Result: {int(srow.argmax())}")  # client/decrypt_image.cpp:63
     if label >= 0:
-        print(f"(true label: {label}, scores: {scores.tolist()})")
+        print(f"(first true label: {label}, scores[0]: {scores[0].tolist()})")
 
 
 def cmd_ptxt(args):
@@ -172,6 +190,7 @@ def main(argv=None):
     p.add_argument("--image-ptxt")
     p.add_argument("--csv")
     p.add_argument("--row", type=int, default=0)
+    p.add_argument("--rows", help="row list/ranges, e.g. 0:8 or 1,5,9 (batch)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="image.ctxt.npz")
     p.set_defaults(fn=cmd_encrypt_image)
