@@ -16,14 +16,16 @@ from redsec_tpu.crypto import ntt
 from redsec_tpu.crypto.pallas_ntt import ntt_pallas
 
 
-def timeit(fn, args_list, warm=1, iters=None):
-    for a in args_list[:warm]:
-        fn(a).block_until_ready()
+def timeit(fn, args_list, warm=1):
+    np.asarray(fn(args_list[0])[0, :1])  # compile + force via host fetch
+    # chain-free but forced: time each call to completion via tiny fetch
     t0 = time.perf_counter()
-    outs = [fn(a) for a in args_list[warm:]]
-    for o in outs:
-        o.block_until_ready()
-    return (time.perf_counter() - t0) / len(outs)
+    acc = None
+    for a in args_list[warm:]:
+        o = fn(a)
+        acc = o if acc is None else acc + o  # dependency chain prevents elision
+    np.asarray(acc[0, :1])
+    return (time.perf_counter() - t0) / (len(args_list) - warm)
 
 
 def main():
@@ -31,9 +33,13 @@ def main():
     batch = int(os.environ.get("NTT_BENCH_BATCH", "8192"))
     plan = ntt.make_plan(N, max_operand=4, limb_bits=8, accum=20)
     pi, p = 0, plan.primes[0]
-    rng = np.random.default_rng(0)
-    xs = [jnp.asarray(rng.integers(0, p, size=(batch, N)).astype(np.int32))
-          for _ in range(4)]
+    # generate inputs ON DEVICE (host->device uploads dominate on tunneled
+    # backends; 4 x 64MB would take minutes)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    gen = jax.jit(lambda k: jax.random.randint(k, (batch, N), 0, p, dtype=jnp.int32))
+    xs = [gen(k) for k in keys]
+    for x in xs:
+        x.block_until_ready()
 
     xla_fn = jax.jit(lambda v: ntt.ntt_device(v, plan, pi))
     t_xla = timeit(xla_fn, xs)
