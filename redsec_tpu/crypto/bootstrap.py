@@ -29,7 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from . import ntt as ntt_mod
+from . import ntt_matmul
 from .keygen import CloudKey, _crt_host
 from .params import TfheParams
 from .torus import mod_switch_to_torus32
@@ -70,6 +73,24 @@ def _bootstrap_plan(p: TfheParams) -> ntt_mod.NttPlan:
     )
 
 
+def _use_matmul_ntt(N: int) -> bool:
+    """Four-step MXU matmul NTT by default (orders of magnitude faster than
+    the lane-hostile radix-2 path on TPU); REDSEC_NTT=radix2 to override."""
+    return os.environ.get("REDSEC_NTT", "matmul") == "matmul" and ntt_matmul.supported(N)
+
+
+def _fwd_ntt(x, plan, pi):
+    if _use_matmul_ntt(plan.N):
+        return ntt_matmul.ntt_device_mm(x, plan, pi)
+    return ntt_mod.ntt_device(x, plan, pi)
+
+
+def _inv_ntt(y, plan, pi):
+    if _use_matmul_ntt(plan.N):
+        return ntt_matmul.intt_device_mm(y, plan, pi)
+    return ntt_mod.intt_device(y, plan, pi)
+
+
 def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
     """Transform the host CloudKey for device evaluation (NTT of each BK
     polynomial's 8-bit limbs, per CRT prime).
@@ -91,7 +112,7 @@ def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
             axis=3,
         )  # [chunk, rows, 2, limbs, N]
         return tuple(
-            ntt_mod.ntt_device(limbs, plan, pi).astype(jnp.uint16)
+            _fwd_ntt(limbs, plan, pi).astype(jnp.uint16)
             for pi in range(len(plan.primes))
         )
 
@@ -198,7 +219,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         conv = []  # per prime: [B, 2, limbs, N]
         for pi, prime in enumerate(primes):
             dmod = digits + np.int32(prime) * (digits < 0).astype(jnp.int32)
-            dn = ntt_mod.ntt_device(dmod, plan, pi)  # [B, rows, N]
+            dn = _fwd_ntt(dmod, plan, pi)  # [B, rows, N]
             bki = bk_round[pi].astype(jnp.int32)  # [rows, 2, limbs, N]
             # lazy accumulation: raw int32 products (< p^2) summed in groups
             # that fit int32, one Barrett reduction per group
@@ -212,7 +233,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
                 red = ntt_mod._reduce_int32(raw, prime)
                 partials = red if partials is None else partials + red
             s = ntt_mod._reduce_small(partials, prime)
-            conv.append(ntt_mod.intt_device(s, plan, pi))
+            conv.append(_inv_ntt(s, plan, pi))
         out = None
         for limb in range(BK_LIMBS):
             v = ntt_mod.crt_to_torus32([c[:, :, limb, :] for c in conv], plan)
