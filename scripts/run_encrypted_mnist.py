@@ -1,6 +1,7 @@
 #!/usr/bin/env python
-"""End-to-end encrypted MNIST sign1024x1 (M4): client encrypt -> cloud run ->
-client decrypt, compared against the plaintext oracle predictions.
+"""End-to-end encrypted inference (M4): client encrypt -> cloud run -> client
+decrypt, compared against the plaintext oracle predictions.  Works for any
+zoo model (mnist/sign*, mnist/relu*, cifar/*).
 
 Usage: python scripts/run_encrypted_mnist.py [--images 8] [--model mnist/sign1024x1]
 Env:   REDSEC_DEVICE=cpu to force the CPU backend.
@@ -52,7 +53,8 @@ def main():
           f"{stats['total_bootstraps']} bootstraps/image")
 
     d = plan.in_dim
-    csv = os.path.join(args.reference, "nets/mnist/mnist_data.csv")
+    dataset = "cifar/cifar_data.csv" if args.model.startswith("cifar") else "mnist/mnist_data.csv"
+    csv = os.path.join(args.reference, "nets", dataset)
     labels, px = load_csv_dataset(csv, d.h, d.w, d.in_dep, limit=args.images)
     x = pixel_transform_for(args.model)(px)
 
