@@ -25,7 +25,6 @@ need.  The inverse consumes that order and emits natural order.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax
@@ -55,8 +54,6 @@ def _mm_tables(N: int, p: int, g_psi: Tuple[int, int]) -> dict:
         e = np.arange(dim)
         exp = np.outer(e, e) % dim
         base = pow(root, p - 2, p) if inv else root
-        tab = np.ones((dim, dim), dtype=np.int64)
-        cur = {0: 1}
         vals = [1]
         for i in range(1, dim):
             vals.append(vals[-1] * base % p)
@@ -122,8 +119,6 @@ def _exact_matmul_mod(data, w: np.ndarray, p: int, side: str):
     w_lo, w_hi = _w_limbs(w)
 
     if side == "left":
-        dn = (((1,), (1,)), ((), ()))
-
         def mm(a, b):  # w-part a [R,R], data-part b [B, R, C]
             out = jax.lax.dot_general(a, b, dimension_numbers=(((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
