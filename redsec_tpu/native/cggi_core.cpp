@@ -52,6 +52,27 @@ static i64 pow_mod(i64 b, i64 e, i64 m) {
     return r;
 }
 
+// Barrett reduction for p < 2^16: q = (x * m) >> 48, m = floor(2^48 / p).
+struct Barrett {
+    i64 p;
+    u64 m;
+    void init(i64 prime) { p = prime; m = (~u64(0)) / u64(prime); m >>= 16; m += 1; }
+    inline i64 mul(i64 a, i64 b) const {  // a, b in [0, p)
+        u64 x = u64(a) * u64(b);
+        u64 q = (u64)(((__uint128_t)x * m) >> 48);
+        i64 r = i64(x - q * u64(p));
+        if (r >= p) r -= p;
+        if (r >= p) r -= p;
+        return r;
+    }
+    inline i64 reduce64(u64 x) const {  // x < 2^48
+        u64 q = (u64)(((__uint128_t)x * m) >> 48);
+        i64 r = i64(x - q * u64(p));
+        while (r >= p) r -= p;
+        return r;
+    }
+};
+
 static bool is_primitive_root(i64 g, i64 p, const std::vector<i64>& factors) {
     for (i64 q : factors)
         if (pow_mod(g, (p - 1) / q, p) == 1) return false;
@@ -77,6 +98,7 @@ static i64 primitive_root(i64 p) {
 
 struct NttPrime {
     i64 p;
+    Barrett br;
     int N;
     std::vector<i64> twist, untwist;        // psi^j, psi^-j / N
     std::vector<std::vector<i64>> fwd_tabs; // per stage
@@ -84,6 +106,7 @@ struct NttPrime {
 
     void init(i64 prime, int n_poly) {
         p = prime;
+        br.init(prime);
         N = n_poly;
         i64 g = primitive_root(p);
         i64 psi = pow_mod(g, (p - 1) / (2 * N), p);
@@ -112,7 +135,7 @@ struct NttPrime {
     }
 
     void fwd(i64* a) const {  // in place, natural -> bit-reversed
-        for (int j = 0; j < N; ++j) a[j] = (a[j] % p + p) % p * twist[j] % p;
+        for (int j = 0; j < N; ++j) a[j] = br.mul((a[j] % p + p) % p, twist[j]);
         int stages = (int)fwd_tabs.size();
         std::vector<i64> tmp(N);
         for (int s = 0; s < stages; ++s) {
@@ -126,7 +149,7 @@ struct NttPrime {
                     i64 su = u + v;
                     if (su >= p) su -= p;
                     o[i] = su;
-                    o[i + h] = (u - v + p) % p * wt[i] % p;
+                    o[i + h] = br.mul(u - v + p >= p ? u - v : u - v + p, wt[i]);
                 }
             }
             std::memcpy(a, tmp.data(), N * sizeof(i64));
@@ -143,16 +166,17 @@ struct NttPrime {
                 i64* o = tmp.data() + g * 2 * h;
                 const std::vector<i64>& wt = inv_tabs[s];
                 for (int i = 0; i < h; ++i) {
-                    i64 t = x[i + h] * wt[i] % p;
+                    i64 t = br.mul(x[i + h], wt[i]);
                     i64 su = x[i] + t;
                     if (su >= p) su -= p;
                     o[i] = su;
-                    o[i + h] = (x[i] - t + p) % p;
+                    i64 d = x[i] - t;
+                    o[i + h] = d < 0 ? d + p : d;
                 }
             }
             std::memcpy(a, tmp.data(), N * sizeof(i64));
         }
-        for (int j = 0; j < N; ++j) a[j] = a[j] * untwist[j] % p;
+        for (int j = 0; j < N; ++j) a[j] = br.mul(a[j], untwist[j]);
     }
 };
 
@@ -321,7 +345,7 @@ void cggi_bootstrap_batch(void* h, const Torus32* in, const Torus32* testvect,
                                     &e->bk_ntt[e->bk_idx(i, r, u_out, limb, pi) * N];
                                 i64* dst = &acc_sum[(((size_t)u_out * 4 + limb) * np + pi) * N];
                                 for (int k = 0; k < N; ++k)
-                                    dst[k] = (dst[k] + dig_ntt[k] * bkrow[k]) % p;
+                                    dst[k] += dig_ntt[k] * bkrow[k];  // < 20 * p^2 < 2^40: lazy
                             }
                     }
                 }
@@ -332,7 +356,8 @@ void cggi_bootstrap_batch(void* h, const Torus32* in, const Torus32* testvect,
                     std::vector<std::vector<i64>> res(np, std::vector<i64>(N));
                     for (int pi = 0; pi < np; ++pi) {
                         i64* src = &acc_sum[(((size_t)u_out * 4 + limb) * np + pi) * N];
-                        std::memcpy(res[pi].data(), src, N * sizeof(i64));
+                        const Barrett& br = e->primes[pi].br;
+                        for (int k = 0; k < N; ++k) res[pi][k] = br.reduce64((u64)src[k]);
                         e->primes[pi].inv(res[pi].data());
                     }
                     for (int k = 0; k < N; ++k) {
