@@ -213,6 +213,35 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         d = d.astype(jnp.int32) - np.int32(half_bg)
         return d.reshape(x.shape[0], rows, N)
 
+    def _pointwise_rows(dn, bki, prime):
+        """sum_j dn[b, j, n] * bk[j, o, l, n] mod p as N-batched bf16 matmuls.
+
+        [B, rows] x [rows, 2*limbs] per lane position n on the MXU — exact
+        (8-bit limbs in bf16, fp32 accumulation, rows*255^2 < 2^24) and free
+        of the [B, rows, 2, limbs, N] product tensor an elementwise
+        formulation materializes through HBM."""
+        bk_flat = bki.reshape(rows, 2 * BK_LIMBS, N)
+
+        def bmm(l, r):
+            out = jax.lax.dot_general(
+                l, r, dimension_numbers=(((1,), (0,)), ((2,), (2,))),
+                preferred_element_type=jnp.float32,
+            )  # [N, B, 2*limbs]
+            return out.astype(jnp.int32)
+
+        d_lo = (dn & 255).astype(jnp.bfloat16)
+        d_hi = (dn >> 8).astype(jnp.bfloat16)
+        b_lo = (bk_flat & 255).astype(jnp.bfloat16)
+        b_hi = (bk_flat >> 8).astype(jnp.bfloat16)
+        p00 = bmm(d_lo, b_lo)
+        r_mid = ntt_mod._reduce_int32(bmm(d_lo, b_hi) + bmm(d_hi, b_lo), prime)
+        r_hi = ntt_mod._reduce_int32(bmm(d_hi, b_hi), prime)
+        r_hi_t = ntt_mod._mulmod_device(
+            r_hi, jnp.full((), np.int32((1 << 16) % prime), jnp.int32), prime
+        )
+        s = ntt_mod._reduce_int32(p00 + (r_mid << 8) + r_hi_t, prime)
+        return jnp.transpose(s, (1, 2, 0))  # [B, 2*limbs, N]
+
     def external_delta(diff, bk_round):
         """TGSW external product: decomp(diff) x BK_i -> torus delta [B, 2, N]."""
         digits = decompose(diff)
@@ -221,19 +250,8 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
             dmod = digits + np.int32(prime) * (digits < 0).astype(jnp.int32)
             dn = _fwd_ntt(dmod, plan, pi)  # [B, rows, N]
             bki = bk_round[pi].astype(jnp.int32)  # [rows, 2, limbs, N]
-            # lazy accumulation: raw int32 products (< p^2) summed in groups
-            # that fit int32, one Barrett reduction per group
-            group = max(1, (2**31 - 1) // ((prime - 1) ** 2))
-            partials = None
-            for g0 in range(0, rows, group):
-                g1 = min(g0 + group, rows)
-                raw = (
-                    dn[:, g0:g1, None, None, :] * bki[None, g0:g1, :, :, :]
-                ).sum(axis=1)  # [B, 2, limbs, N] < group * p^2 <= int32
-                red = ntt_mod._reduce_int32(raw, prime)
-                partials = red if partials is None else partials + red
-            s = ntt_mod._reduce_small(partials, prime)
-            conv.append(_inv_ntt(s, plan, pi))
+            s = _pointwise_rows(dn, bki, prime)
+            conv.append(_inv_ntt(s.reshape(-1, 2, BK_LIMBS, N), plan, pi))
         out = None
         for limb in range(BK_LIMBS):
             v = ntt_mod.crt_to_torus32([c[:, :, limb, :] for c in conv], plan)
