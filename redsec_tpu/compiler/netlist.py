@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import List, Optional
+from typing import List
 
 from ..models.dims import Dimensions
 from ..models.spec import (

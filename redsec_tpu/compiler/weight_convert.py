@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import io
 import math
-from typing import BinaryIO, List, Optional, Sequence, Union
+from typing import BinaryIO, Sequence, Union
 
 import numpy as np
 

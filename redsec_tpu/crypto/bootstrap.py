@@ -22,8 +22,7 @@ for cross-checking the device path on small parameter sets.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ are ciphertext tensors ``[..., n+1]``.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from .bootstrap import DeviceCloudKey, make_batched_bootstrap

@@ -16,8 +16,6 @@ Used behind a flag (REDSEC_PALLAS_NTT=1) until profiled as a clear win.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

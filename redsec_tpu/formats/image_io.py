@@ -13,7 +13,7 @@ Pixel-domain conversion is model-specific:
 
 from __future__ import annotations
 
-from typing import Iterable, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -10,7 +10,6 @@ artifacts carry the same roles and pipeline positions with an npz container
 
 from __future__ import annotations
 
-import dataclasses
 import os
 
 import numpy as np

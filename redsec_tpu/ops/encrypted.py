@@ -25,13 +25,11 @@ activation, batch leading).  Design (SURVEY.md §7.1):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..crypto.bootstrap import DeviceCloudKey, const_test_vector
+from ..crypto.bootstrap import const_test_vector
 from ..crypto.params import TfheParams
 from ..crypto.torus import mod_switch_to_torus32
 from ..models.spec import ConvPlan, PoolPlan, QuantPlan

@@ -18,7 +18,6 @@ All arithmetic is int32 with two's-complement wraparound, matching the C++.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

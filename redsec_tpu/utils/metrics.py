@@ -13,7 +13,7 @@ import dataclasses
 import time
 from typing import Dict, List
 
-from ..models.spec import Activation, LayerPlan, ModelPlan, PoolKind
+from ..models.spec import Activation, LayerPlan, ModelPlan
 
 
 @dataclasses.dataclass
