@@ -30,6 +30,20 @@ import time
 import numpy as np
 
 
+def _resolve_model(name_or_json: str):
+    """Zoo name, or a path to a *_spec.json produced by `compile`."""
+    if name_or_json.endswith(".json"):
+        import json as _json
+
+        from .compiler.netlist import spec_from_json
+
+        with open(name_or_json) as f:
+            return spec_from_json(_json.load(f))
+    from .models.zoo import get_model
+
+    return get_model(name_or_json)
+
+
 def _parse_rows(spec: str):
     out = []
     for part in spec.split(","):
@@ -93,14 +107,13 @@ def cmd_run_encrypted(args):
     from .crypto import bootstrap as bs
     from .formats import keys as kio
     from .models.spec import prep_model
-    from .models.zoo import get_model
     from .runtime.encrypted import build_encrypted_forward
 
     cloud = kio.load_cloud_key(args.eval)
     t0 = time.time()
     dkey = bs.prepare_cloud_key(cloud)
     print(f"evaluation key prepared in {time.time()-t0:.1f}s")
-    plan = prep_model(get_model(args.model), args.weights)
+    plan = prep_model(_resolve_model(args.model), args.weights)
     ct, params, label = kio.load_ciphertexts(args.image)
     d = plan.in_dim
     ct = ct.reshape(-1, d.h, d.w, d.in_dep, ct.shape[-1])
@@ -132,11 +145,9 @@ def cmd_ptxt(args):
     _cpu_jax()
     from .formats import image_io
     from .models.spec import prep_model
-    from .models.zoo import get_model
     from .runtime.ptxt import predict
 
-    spec = get_model(args.model)
-    plan = prep_model(spec, args.weights)
+    plan = prep_model(_resolve_model(args.model), args.weights)
     d = plan.in_dim
     labels, px = image_io.load_csv_dataset(args.csv, d.h, d.w, d.in_dep, limit=args.limit)
     x = image_io.pixel_transform_for(args.model)(px)
@@ -148,18 +159,16 @@ def cmd_ptxt(args):
 def cmd_stats(args):
     _cpu_jax()
     from .models.spec import prep_model
-    from .models.zoo import get_model
     from .utils.metrics import summarize
 
-    plan = prep_model(get_model(args.model), args.weights)
+    plan = prep_model(_resolve_model(args.model), args.weights)
     print(json.dumps(summarize(plan), indent=2))
 
 
 def cmd_weight_convert(args):
     from .compiler.weight_convert import weight_convert
-    from .models.zoo import get_model
 
-    blob = weight_convert(get_model(args.model), args.raw)
+    blob = weight_convert(_resolve_model(args.model), args.raw)
     with open(args.out, "wb") as f:
         f.write(blob)
     print(f"packed weights ({len(blob)} bytes) -> {args.out}")
