@@ -68,21 +68,27 @@ def ternary_matmul_ct(patches: jax.Array, weights: np.ndarray) -> jax.Array:
 
 
 def conv_enc(plan: ConvPlan, x: jax.Array, msg_space: int = 4096) -> jax.Array:
-    """Encrypted conv/fc: patch gather + ternary matmul over ciphertexts.
+    """Encrypted conv/fc: per-tap shifted slices + ternary matmuls over
+    ciphertexts (never materializes the [.., wh, ww, C, n+1] im2col tensor,
+    which reaches hundreds of MB per image on the cifar nets).
 
     Zero-padding contributes all-zero LWE samples — identical to the
     reference's ``lweClear`` padding (lib/BinFunc.cpp:278-284)."""
     if plan.flatten:
         x = x.reshape(x.shape[0], 1, 1, -1, x.shape[-1])
-    patches = gather_patches(
-        x, (plan.weights.shape[0], plan.weights.shape[1]), plan.stride, plan.offset,
-        (plan.out_h, plan.out_w),
-    )  # [B, OH, OW, wh, ww, C, R]
     B, R = x.shape[0], x.shape[-1]
-    k = plan.weights.shape[0] * plan.weights.shape[1] * plan.in_dep
-    patches = patches.reshape(B, plan.out_h * plan.out_w, k, R)
-    w = plan.weights.reshape(k, plan.out_dep)
-    out = ternary_matmul_ct(patches, w)
+    wh, ww = plan.weights.shape[0], plan.weights.shape[1]
+    out = None
+    for fh in range(wh):
+        for fw in range(ww):
+            tap = gather_patches(
+                x, (1, 1), plan.stride,
+                (plan.offset[0] - fh, plan.offset[1] - fw),
+                (plan.out_h, plan.out_w),
+            )  # [B, OH, OW, 1, 1, C, R]
+            tap = tap.reshape(B, plan.out_h * plan.out_w, plan.in_dep, R)
+            part = ternary_matmul_ct(tap, plan.weights[fh, fw])
+            out = part if out is None else out + part
     out = out.reshape(B, plan.out_h, plan.out_w, plan.out_dep, R)
     if plan.neg_correction is not None:
         # integer-domain 1's-complement correction as a noiseless trivial
