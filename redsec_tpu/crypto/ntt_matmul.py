@@ -35,10 +35,16 @@ from .ntt import NttPlan, _reduce_int32, _mulmod_device
 
 
 def _split_rc(N: int):
-    """Factor N = R*C with R, C powers of two as close to sqrt(N) as possible."""
-    log = N.bit_length() - 1
-    r_log = (log + 1) // 2
-    return 1 << r_log, N >> r_log
+    """Factor N = R*C with C = 128 (the TPU lane width) when possible.
+
+    Keeping the minor dimension at 128 makes every intermediate lane-native
+    (a [.., R, 128] view of [.., N] is a free row-major split), and the
+    C-side transform becomes a [.., 128] x [128, 128] MXU matmul at full
+    utilization.  A sqrt-balanced split (e.g. 32x32) leaves the minor dim at
+    32 -> 4x lane padding and relayouts everywhere.
+    """
+    C = 128 if N >= 256 else max(16, N // 16)
+    return N // C, C
 
 
 @functools.lru_cache(maxsize=None)
@@ -172,4 +178,4 @@ def intt_device_mm(y, plan: NttPlan, pi: int):
 
 def supported(N: int) -> bool:
     R, C = _split_rc(N)
-    return R * C == N and min(R, C) >= 8
+    return R * C == N and R >= 2

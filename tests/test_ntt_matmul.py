@@ -15,9 +15,9 @@ from redsec_tpu.crypto.ntt_matmul import (
 
 
 def test_split_rc():
-    assert _split_rc(1024) == (32, 32)
-    assert _split_rc(2048) == (64, 32)
-    assert _split_rc(256) == (16, 16)
+    assert _split_rc(1024) == (8, 128)
+    assert _split_rc(2048) == (16, 128)
+    assert _split_rc(256) == (2, 128)
     assert supported(1024) and supported(2048) and supported(256)
 
 
