@@ -212,13 +212,26 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         d = d.astype(jnp.int32) - np.int32(half_bg)
         return d.reshape(x.shape[0], rows, N)
 
-    def _pointwise_rows(dn, bki, prime):
-        """sum_j dn[b, j, n] * bk[j, o, l, n] mod p as N-batched bf16 matmuls.
+    pointwise_mode = os.environ.get("REDSEC_POINTWISE", "lazy")
 
-        [B, rows] x [rows, 2*limbs] per lane position n on the MXU — exact
-        (8-bit limbs in bf16, fp32 accumulation, rows*255^2 < 2^24) and free
-        of the [B, rows, 2, limbs, N] product tensor an elementwise
-        formulation materializes through HBM."""
+    def _pointwise_rows_lazy(dn, bki, prime):
+        """sum_j dn[b, j, n] * bk[j, o, l, n] mod p, elementwise with lazy
+        int32 accumulation — keeps N in the minor (lane) dimension throughout;
+        XLA fuses the multiply into the row reduction."""
+        group = max(1, (2**31 - 1) // ((prime - 1) ** 2))
+        partials = None
+        for g0 in range(0, rows, group):
+            g1 = min(g0 + group, rows)
+            raw = (
+                dn[:, g0:g1, None, None, :] * bki[None, g0:g1, :, :, :]
+            ).sum(axis=1)  # [B, 2, limbs, N] < group * p^2 <= int32
+            red = ntt_mod._reduce_int32(raw, prime)
+            partials = red if partials is None else partials + red
+        return ntt_mod._reduce_small(partials, prime)
+
+    def _pointwise_rows_gemm(dn, bki, prime):
+        """Same contraction as N-batched bf16 matmuls (MXU); pays N-major
+        transposes — only wins when rows is large."""
         bk_flat = bki.reshape(rows, 2 * BK_LIMBS, N)
 
         def bmm(l, r):
@@ -239,7 +252,8 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
             r_hi, jnp.full((), np.int32((1 << 16) % prime), jnp.int32), prime
         )
         s = ntt_mod._reduce_int32(p00 + (r_mid << 8) + r_hi_t, prime)
-        return jnp.transpose(s, (1, 2, 0))  # [B, 2*limbs, N]
+        s = jnp.transpose(s, (1, 2, 0))  # [B, 2*limbs, N]
+        return s.reshape(-1, 2, BK_LIMBS, N)
 
     def external_delta(diff, bk_round):
         """TGSW external product: decomp(diff) x BK_i -> torus delta [B, 2, N]."""
@@ -249,8 +263,11 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
             dmod = digits + np.int32(prime) * (digits < 0).astype(jnp.int32)
             dn = _fwd_ntt(dmod, plan, pi)  # [B, rows, N]
             bki = bk_round[pi].astype(jnp.int32)  # [rows, 2, limbs, N]
-            s = _pointwise_rows(dn, bki, prime)
-            conv.append(_inv_ntt(s.reshape(-1, 2, BK_LIMBS, N), plan, pi))
+            if pointwise_mode == "gemm":
+                s = _pointwise_rows_gemm(dn, bki, prime)
+            else:
+                s = _pointwise_rows_lazy(dn, bki, prime)
+            conv.append(_inv_ntt(s, plan, pi))
         out = None
         for limb in range(BK_LIMBS):
             v = ntt_mod.crt_to_torus32([c[:, :, limb, :] for c in conv], plan)
