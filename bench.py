@@ -24,6 +24,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, repo)
 

@@ -100,19 +100,25 @@ def keyset_dir(base: str | None = None) -> str:
 
 
 def ensure_keyset(params_name: str = "small_v2", seed: int = 0, base: str | None = None):
-    """Generate-or-load a cached keyset; returns (SecretKey, DeviceCloudKey)."""
+    """Generate-or-load a cached keyset; returns (SecretKey, DeviceCloudKey).
+
+    Only the RAW keys are cached on disk; the NTT-domain transform always
+    runs on-device from the (4x smaller) coefficient-domain key — on tunneled
+    devices, shipping the prepared key is strictly slower than re-deriving it.
+    """
     from ..crypto import bootstrap as bs
     from ..crypto import keygen as kg
 
     d = keyset_dir(base)
     tag = f"{params_name}_s{seed}"
     sk_path = os.path.join(d, f"secret_{tag}.npz")
-    pk_path = os.path.join(d, f"prepared_{tag}.npz")
-    if os.path.exists(sk_path) and os.path.exists(pk_path):
-        return load_secret_key(sk_path), load_prepared_key(pk_path)
-    params = get_params(params_name)
-    sk, cloud = kg.keygen(params, seed=seed)
-    dkey = bs.prepare_cloud_key(cloud)
-    save_secret_key(sk_path, sk)
-    save_prepared_key(pk_path, dkey)
-    return sk, dkey
+    ck_path = os.path.join(d, f"cloud_{tag}.npz")
+    if os.path.exists(sk_path) and os.path.exists(ck_path):
+        sk = load_secret_key(sk_path)
+        cloud = load_cloud_key(ck_path)
+    else:
+        params = get_params(params_name)
+        sk, cloud = kg.keygen(params, seed=seed)
+        save_secret_key(sk_path, sk)
+        save_cloud_key(ck_path, cloud)
+    return sk, bs.prepare_cloud_key(cloud)

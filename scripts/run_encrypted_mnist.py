@@ -27,6 +27,11 @@ def main():
 
     import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     if os.environ.get("REDSEC_DEVICE") == "cpu":
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
