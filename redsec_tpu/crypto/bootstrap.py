@@ -214,6 +214,27 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
 
     pointwise_mode = os.environ.get("REDSEC_POINTWISE", "lazy")
 
+    # Fused Pallas round kernel: NTT -> pointwise -> INTT -> CRT in VMEM.
+    # Default on accelerators (the XLA formulation is HBM-traffic-bound);
+    # interpret mode on CPU would be slow, so CPU keeps the XLA path.
+    _rk_env = os.environ.get("REDSEC_ROUND_KERNEL", "auto")
+    use_round_kernel = (
+        _rk_env != "0"
+        and len(plan.primes) == 2
+        and ntt_matmul.supported(p.N)
+        and ntt_matmul._split_rc(p.N)[1] == 128
+        and (jax.default_backend() != "cpu" if _rk_env == "auto" else True)
+    )
+    round_kernel = None
+    if use_round_kernel:
+        from .pallas_round import make_round_kernel
+
+        round_kernel = make_round_kernel(
+            p, plan,
+            tile=int(os.environ.get("REDSEC_ROUND_TILE", "32")),
+            interpret=jax.default_backend() == "cpu",
+        )
+
     def _pointwise_rows_lazy(dn, bki, prime):
         """sum_j dn[b, j, n] * bk[j, o, l, n] mod p, elementwise with lazy
         int32 accumulation — keeps N in the minor (lane) dimension throughout;
@@ -258,6 +279,12 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     def external_delta(diff, bk_round):
         """TGSW external product: decomp(diff) x BK_i -> torus delta [B, 2, N]."""
         digits = decompose(diff)
+        if round_kernel is not None:
+            bk_i32 = jnp.stack(
+                [bk_round[pi].astype(jnp.int32).reshape(rows, 2 * BK_LIMBS, N)
+                 for pi in range(len(primes))]
+            )
+            return round_kernel(digits, bk_i32)
         conv = []  # per prime: [B, 2, limbs, N]
         for pi, prime in enumerate(primes):
             dmod = digits + np.int32(prime) * (digits < 0).astype(jnp.int32)
