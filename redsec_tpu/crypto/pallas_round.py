@@ -110,7 +110,7 @@ def make_round_kernel(params: TfheParams, plan: NttPlan, tile: int = 32,
     Pm32 = (p0 * p1) & 0xFFFFFFFF
     Pm32 = Pm32 - (1 << 32) if Pm32 >= (1 << 31) else Pm32
 
-    def ntt_fwd_tile(x, pi, tw_r, wr_smem, twd, wc_lo, wc_hi):
+    def ntt_fwd_tile(x, pi, tw_r, wr_ref, twd, wc_lo, wc_hi):
         """x [Q, R, 128] in [0,p) -> four-step NTT, same map as ntt_device_mm."""
         p = primes[pi]
         x = _mulmod(x, tw_r[None], p)
@@ -118,7 +118,7 @@ def make_round_kernel(params: TfheParams, plan: NttPlan, tile: int = 32,
         for k1 in range(R):
             acc = None
             for j1 in range(R):
-                t = _mulmod(x[:, j1, :], wr_smem[k1, j1], p)
+                t = _mulmod(x[:, j1, :], wr_ref[pi, k1, j1], p)  # SMEM scalar
                 acc = t if acc is None else acc + t
             outs.append(_reduce(acc, p))
         a = jnp.stack(outs, axis=1)  # [Q, R, 128]
@@ -126,7 +126,7 @@ def make_round_kernel(params: TfheParams, plan: NttPlan, tile: int = 32,
         z = _exact_dot_mod(a.reshape(-1, 128), wc_lo, wc_hi, p)
         return z.reshape(-1, R, 128)
 
-    def ntt_inv_tile(y, pi, un_r, wri_smem, twdi, wci_lo, wci_hi):
+    def ntt_inv_tile(y, pi, un_r, wri_ref, twdi, wci_lo, wci_hi):
         p = primes[pi]
         b = _exact_dot_mod(y.reshape(-1, 128), wci_lo, wci_hi, p).reshape(-1, R, 128)
         b = _mulmod(b, twdi[None], p)
@@ -134,7 +134,7 @@ def make_round_kernel(params: TfheParams, plan: NttPlan, tile: int = 32,
         for j1 in range(R):
             acc = None
             for k1 in range(R):
-                t = _mulmod(b[:, k1, :], wri_smem[j1, k1], p)
+                t = _mulmod(b[:, k1, :], wri_ref[pi, j1, k1], p)  # SMEM scalar
                 acc = t if acc is None else acc + t
             outs.append(_reduce(acc, p))
         x = jnp.stack(outs, axis=1)
@@ -151,7 +151,7 @@ def make_round_kernel(params: TfheParams, plan: NttPlan, tile: int = 32,
             v = dmod.reshape(T * rows, R, 128)
             wc_lo = wc_lo_ref[pi].astype(jnp.bfloat16)
             wc_hi = wc_hi_ref[pi].astype(jnp.bfloat16)
-            dn = ntt_fwd_tile(v, pi, tw_ref[pi], wr_ref[pi], twd_ref[pi],
+            dn = ntt_fwd_tile(v, pi, tw_ref[pi], wr_ref, twd_ref[pi],
                               wc_lo, wc_hi)
             dn = dn.reshape(T, rows, N)
             # pointwise with lazy accumulation
@@ -174,7 +174,7 @@ def make_round_kernel(params: TfheParams, plan: NttPlan, tile: int = 32,
             wci_lo = wci_lo_ref[pi].astype(jnp.bfloat16)
             wci_hi = wci_hi_ref[pi].astype(jnp.bfloat16)
             conv = ntt_inv_tile(s.reshape(T * 2 * BK_LIMBS, R, 128), pi,
-                                un_ref[pi], wri_ref[pi], twdi_ref[pi],
+                                un_ref[pi], wri_ref, twdi_ref[pi],
                                 wci_lo, wci_hi)
             convs.append(conv.reshape(T, 2 * BK_LIMBS, N))
         # CRT (Garner, 2 primes) + sign correction + limb recombination
