@@ -226,14 +226,16 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         and (jax.default_backend() != "cpu" if _rk_env == "auto" else True)
     )
     round_kernel = None
+    full_round = None
     if use_round_kernel:
-        from .pallas_round import make_round_kernel
+        from .pallas_round import make_full_round_kernel, make_round_kernel
 
-        round_kernel = make_round_kernel(
-            p, plan,
-            tile=int(os.environ.get("REDSEC_ROUND_TILE", "32")),
-            interpret=jax.default_backend() == "cpu",
-        )
+        _tile = int(os.environ.get("REDSEC_ROUND_TILE", "8"))
+        _interp = jax.default_backend() == "cpu"
+        if _rk_env == "partial":
+            round_kernel = make_round_kernel(p, plan, tile=_tile, interpret=_interp)
+        else:
+            full_round = make_full_round_kernel(p, plan, tile=_tile, interpret=_interp)
 
     def _pointwise_rows_lazy(dn, bki, prime):
         """sum_j dn[b, j, n] * bk[j, o, l, n] mod p, elementwise with lazy
@@ -306,15 +308,25 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         acc_b = rotate(tv, (two_n - bbar) % two_n)
         acc = jnp.stack([jnp.zeros_like(acc_b), acc_b], axis=1)  # [B, 2, N]
 
-        def body(i, acc):
-            ai = abar[:, i]
-            rot = rotate(acc, ai)
-            diff = rot - acc
-            bk_round = tuple(
+        def bk_slice(bk_ntt, i):
+            return tuple(
                 jax.lax.dynamic_index_in_dim(bk, i, axis=0, keepdims=False)
                 for bk in bk_ntt
             )
-            return acc + external_delta(diff, bk_round)
+
+        if full_round is not None:
+            def body(i, acc):
+                bk_i32 = jnp.stack(
+                    [b.astype(jnp.int32).reshape(rows, 2 * BK_LIMBS, N)
+                     for b in bk_slice(bk_ntt, i)]
+                )
+                return full_round(acc, abar[:, i], bk_i32)
+        else:
+            def body(i, acc):
+                ai = abar[:, i]
+                rot = rotate(acc, ai)
+                diff = rot - acc
+                return acc + external_delta(diff, bk_slice(bk_ntt, i))
 
         return jax.lax.fori_loop(0, n, body, acc, unroll=unroll)
 

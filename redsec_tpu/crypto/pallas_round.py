@@ -247,3 +247,199 @@ def make_round_kernel(params: TfheParams, plan: NttPlan, tile: int = 32,
         return out[:m]
 
     return run
+
+
+def make_full_round_kernel(params: TfheParams, plan: NttPlan, tile: int = 32,
+                           interpret: bool = False):
+    """Whole-CMUX-round kernel: rotate -> diff -> decompose -> external
+    product -> accumulate, per VMEM tile.
+
+    ``fn(acc [M,2,N], t [M] int32 in [0,2N), bk int32 [P,rows,8,N]) -> acc'``.
+
+    The per-round HBM traffic collapses to acc in/out + the BK slice; the
+    rotation (the dominant XLA cost per the device trace: ~40% in
+    compare_select fusions) becomes VPU work on VMEM-resident data.
+    """
+    inner = make_round_kernel(params, plan, tile=tile, interpret=interpret)
+    primes = plan.primes
+    rows = params.decomp_rows
+    N = params.N
+    R = N // 128
+    l = params.l
+    bg_bit = params.bg_bit
+    half_bg = params.half_bg
+    mask_mod = params.bg - 1
+    log2_2n = params.log2_2N
+    offset = 0
+    for j in range(l):
+        offset = (offset + (half_bg << (32 - (j + 1) * bg_bit))) & 0xFFFFFFFF
+    offset = offset - (1 << 32) if offset >= (1 << 31) else offset
+    tabs = _round_tables(params, plan)
+    dec_shifts = [32 - (j + 1) * bg_bit for j in range(l)]
+
+    def _rot_pow2(x, k):
+        """x [T,2,R,128] -> X^(2^k) * x (negacyclic), static k."""
+        s = 1 << k
+        if s >= N:  # X^N = -1; X^2N = 1
+            return -x if (s // N) % 2 == 1 else x
+        if s >= 128:
+            sr = s // 128
+            rolled = pltpu.roll(x, sr, axis=2)
+            row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+            return jnp.where(row < sr, -rolled, rolled)
+        lane_roll = pltpu.roll(x, s, axis=3)
+        carried = pltpu.roll(lane_roll, 1, axis=2)
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+        carried = jnp.where(row == 0, -carried, carried)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 3)
+        return jnp.where(lane < s, carried, lane_roll)
+
+    def kernel(acc_ref, t_ref, bk_ref, tw_ref, un_ref, twd_ref, twdi_ref,
+               wc_lo_ref, wc_hi_ref, wci_lo_ref, wci_hi_ref,
+               wr_ref, wri_ref, out_ref):
+        acc = acc_ref[:]  # [T, 2, N]
+        T = acc.shape[0]
+        a4 = acc.reshape(T, 2, R, 128)
+        rot = a4
+        tcol = t_ref[:]  # [T, 1]
+        for k in range(log2_2n):
+            rx = _rot_pow2(rot, k)
+            bit = ((tcol >> k) & 1).reshape(T, 1, 1, 1) != 0
+            rot = jnp.where(bit, rx, rot)
+        diff = (rot - a4).reshape(T, 2, N)
+        # signed gadget decomposition (int32 wraparound == uint32 semantics)
+        u = diff + np.int32(offset)
+        digs = []
+        for j in range(l):
+            digs.append(((u >> dec_shifts[j]) & np.int32(mask_mod)) - np.int32(half_bg))
+        digits = jnp.stack(digs, axis=2).reshape(T, rows, N)  # [T,2,l,N]->rows
+        delta = _external_tile(digits, bk_ref, tw_ref, un_ref, twd_ref, twdi_ref,
+                               wc_lo_ref, wc_hi_ref, wci_lo_ref, wci_hi_ref,
+                               wr_ref, wri_ref)
+        out_ref[:] = acc + delta
+
+    # reuse the external-product body from make_round_kernel by rebuilding it
+    # here as a function of loaded refs
+    p0, p1 = primes
+    inv01 = pow(p0 % p1, p1 - 2, p1)
+    Pm32 = (p0 * p1) & 0xFFFFFFFF
+    Pm32 = Pm32 - (1 << 32) if Pm32 >= (1 << 31) else Pm32
+
+    def _external_tile(digits, bk_ref, tw_ref, un_ref, twd_ref, twdi_ref,
+                       wc_lo_ref, wc_hi_ref, wci_lo_ref, wci_hi_ref,
+                       wr_ref, wri_ref):
+        T = digits.shape[0]
+        convs = []
+        for pi, p in enumerate(primes):
+            dmod = digits + np.int32(p) * (digits < 0).astype(jnp.int32)
+            v = dmod.reshape(T * rows, R, 128)
+            v = _mulmod(v, tw_ref[pi][None], p)
+            outs = []
+            for k1 in range(R):
+                accv = None
+                for j1 in range(R):
+                    tt = _mulmod(v[:, j1, :], wr_ref[pi, k1, j1], p)
+                    accv = tt if accv is None else accv + tt
+                outs.append(_reduce(accv, p))
+            a = jnp.stack(outs, axis=1)
+            a = _mulmod(a, twd_ref[pi][None], p)
+            z = _exact_dot_mod(a.reshape(-1, 128),
+                               wc_lo_ref[pi].astype(jnp.bfloat16),
+                               wc_hi_ref[pi].astype(jnp.bfloat16), p)
+            dn = z.reshape(T, rows, N)
+            group = max(1, (2**31 - 1) // ((p - 1) ** 2))
+            souts = []
+            for ol in range(2 * BK_LIMBS):
+                total = None
+                accv = None
+                cnt = 0
+                for j in range(rows):
+                    prod = dn[:, j, :] * bk_ref[pi, j, ol, :][None, :]
+                    accv = prod if accv is None else accv + prod
+                    cnt += 1
+                    if cnt == group or j == rows - 1:
+                        red = _reduce(accv, p)
+                        total = red if total is None else total + red
+                        accv, cnt = None, 0
+                souts.append(_reduce(total, p))
+            sarr = jnp.stack(souts, axis=1)  # [T, 8, N]
+            b = _exact_dot_mod(sarr.reshape(-1, 128),
+                               wci_lo_ref[pi].astype(jnp.bfloat16),
+                               wci_hi_ref[pi].astype(jnp.bfloat16),
+                               p).reshape(-1, R, 128)
+            b = _mulmod(b, twdi_ref[pi][None], p)
+            outs = []
+            for j1 in range(R):
+                accv = None
+                for k1 in range(R):
+                    tt = _mulmod(b[:, k1, :], wri_ref[pi, j1, k1], p)
+                    accv = tt if accv is None else accv + tt
+                outs.append(_reduce(accv, p))
+            xarr = jnp.stack(outs, axis=1)
+            xarr = _mulmod(xarr, un_ref[pi][None], p)
+            convs.append(xarr.reshape(T, 2 * BK_LIMBS, N))
+        c0, c1 = convs
+        diffc = c1 - _reduce(c0, p1)
+        diffc = jnp.where(diffc < 0, diffc + p1, diffc)
+        t1 = _mulmod(diffc, jnp.int32(inv01), p1)
+        vraw = c0 + t1 * np.int32(p0)
+        frac = (c0.astype(jnp.float32) * np.float32(1.0 / (p0 * p1))
+                + t1.astype(jnp.float32) * np.float32(1.0 / p1))
+        vv = vraw - jnp.where(frac >= 0.5, np.int32(Pm32), np.int32(0))
+        delta = []
+        for o in range(2):
+            accum = vv[:, o * BK_LIMBS, :]
+            for li in range(1, BK_LIMBS):
+                accum = accum + vv[:, o * BK_LIMBS + li, :] * np.int32(1 << (8 * li))
+            delta.append(accum)
+        return jnp.stack(delta, axis=1)
+
+    n_tabs = len(primes)
+    tw = np.stack([t["twist"] for t in tabs])
+    un = np.stack([t["untwist"] for t in tabs])
+    twd = np.stack([t["TW"] for t in tabs])
+    twdi = np.stack([t["TWi"] for t in tabs])
+    wc_lo = np.stack([t["WC"][0] for t in tabs])
+    wc_hi = np.stack([t["WC"][1] for t in tabs])
+    wci_lo = np.stack([t["WCi"][0] for t in tabs])
+    wci_hi = np.stack([t["WCi"][1] for t in tabs])
+    wr = np.stack([t["WR"] for t in tabs])
+    wri = np.stack([t["WRi"] for t in tabs])
+    table_args = (tw, un, twd, twdi, wc_lo, wc_hi, wci_lo, wci_hi, wr, wri)
+    table_specs = [
+        pl.BlockSpec((n_tabs, R, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tabs, R, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tabs, R, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tabs, R, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tabs, 128, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tabs, 128, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tabs, 128, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tabs, 128, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tabs, R, R), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_tabs, R, R), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+    ]
+
+    def run(acc, t, bk_round):
+        m = acc.shape[0]
+        pad = (-m) % tile
+        if pad:
+            acc = jnp.concatenate([acc, jnp.zeros((pad, 2, N), jnp.int32)], axis=0)
+            t = jnp.concatenate([t, jnp.zeros((pad,), jnp.int32)], axis=0)
+        grid = (acc.shape[0] // tile,)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((acc.shape[0], 2, N), jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, 2, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((len(primes), rows, 2 * BK_LIMBS, N), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *table_specs,
+            ],
+            out_specs=pl.BlockSpec((tile, 2, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(acc, t.reshape(-1, 1), bk_round, *(jnp.asarray(a) for a in table_args))
+        return out[:m]
+
+    return run
