@@ -438,6 +438,9 @@ def make_full_round_kernel(params: TfheParams, plan: NttPlan, tile: int = 32,
                 *table_specs,
             ],
             out_specs=pl.BlockSpec((tile, 2, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
         )(acc, t.reshape(-1, 1), bk_round, *(jnp.asarray(a) for a in table_args))
         return out[:m]
