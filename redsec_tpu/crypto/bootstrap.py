@@ -215,15 +215,15 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     pointwise_mode = os.environ.get("REDSEC_POINTWISE", "lazy")
 
     # Fused Pallas round kernel: NTT -> pointwise -> INTT -> CRT in VMEM.
-    # Default on accelerators (the XLA formulation is HBM-traffic-bound);
-    # interpret mode on CPU would be slow, so CPU keeps the XLA path.
-    _rk_env = os.environ.get("REDSEC_ROUND_KERNEL", "auto")
+    # Opt-in (REDSEC_ROUND_KERNEL=1|partial): measured 2x slower than the XLA
+    # formulation at tile 8 on v5e and compile-bound at tile 32 on the
+    # remote-compile backend; kept for round-2 tuning (see PERFORMANCE.md).
+    _rk_env = os.environ.get("REDSEC_ROUND_KERNEL", "0")
     use_round_kernel = (
         _rk_env != "0"
         and len(plan.primes) == 2
         and ntt_matmul.supported(p.N)
         and ntt_matmul._split_rc(p.N)[1] == 128
-        and (jax.default_backend() != "cpu" if _rk_env == "auto" else True)
     )
     round_kernel = None
     full_round = None
