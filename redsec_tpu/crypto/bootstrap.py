@@ -22,13 +22,12 @@ for cross-checking the device path on small parameter sets.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-import os
 
 from . import ntt as ntt_mod
 from . import ntt_matmul
@@ -187,9 +186,10 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     def rotate(polys, t):
         """X^t * poly (negacyclic) for per-batch exponents t [B] in [0, 2N).
 
-        Binary-decomposed: 1 + log2(2N) static power-of-two rotations with
-        per-batch selects.  Static rotations are pure slices/concats (TPU
-        gathers on the lane dimension are slow; selects are free)."""
+        Binary-decomposed: log2(2N) static power-of-two rotations with
+        per-batch selects — much cheaper than a lane-dimension gather, though
+        still ~40% of round time in HBM traffic (see PERFORMANCE.md; the
+        fused round kernel moves this into VMEM)."""
         out = polys
         for k in range(p.log2_2N):
             s = 1 << k
