@@ -212,7 +212,13 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         d = d.astype(jnp.int32) - np.int32(half_bg)
         return d.reshape(x.shape[0], rows, N)
 
-    pointwise_mode = os.environ.get("REDSEC_POINTWISE", "lazy")
+    # Pointwise default pairs with the NTT flavor: the matmul NTT's output
+    # layout fuses well with the GEMM contraction (310/s vs 147/s for
+    # matmul+lazy at batch 256 on v5e); the radix-2 NTT prefers the fused
+    # elementwise reduction (321/s).
+    pointwise_mode = os.environ.get(
+        "REDSEC_POINTWISE", "gemm" if _use_matmul_ntt(p.N) else "lazy"
+    )
 
     # Fused Pallas round kernel: NTT -> pointwise -> INTT -> CRT in VMEM.
     # Opt-in (REDSEC_ROUND_KERNEL=1|partial): measured 2x slower than the XLA
