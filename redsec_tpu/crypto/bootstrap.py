@@ -71,6 +71,26 @@ def _bootstrap_plan(p: TfheParams) -> ntt_mod.NttPlan:
     )
 
 
+def _use_blind_kernel(p: TfheParams, plan: ntt_mod.NttPlan) -> bool:
+    """Whole-blind-rotation Pallas mega-kernel (REDSEC_BLIND_KERNEL=1)."""
+    if os.environ.get("REDSEC_BLIND_KERNEL", "0") == "0":
+        return False
+    from . import pallas_blind
+
+    return pallas_blind.supported(p, plan)
+
+
+def _key_material(dkey: "DeviceCloudKey"):
+    """The key-argument form the bootstrap impl expects: the packed int16
+    streaming tensor for the mega-kernel path, else the per-prime tuple."""
+    p, plan = dkey.params, dkey.plan
+    if _use_blind_kernel(p, plan):
+        from . import pallas_blind
+
+        return pallas_blind.pack_bk_int16(dkey.bk_ntt)
+    return dkey.bk_ntt
+
+
 def _use_matmul_ntt(N: int) -> bool:
     """Four-step MXU matmul NTT by default (orders of magnitude faster than
     the lane-hostile radix-2 path on TPU); REDSEC_NTT=radix2 to override."""
@@ -220,6 +240,18 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         "REDSEC_POINTWISE", "gemm" if _use_matmul_ntt(p.N) else "lazy"
     )
 
+    # Whole-blind-rotation mega-kernel (pallas_blind.py): all n rounds in one
+    # pallas_call, accumulator VMEM-resident, BK streamed as int16 slices.
+    blind_kernel = None
+    if _use_blind_kernel(p, plan):
+        from . import pallas_blind
+
+        blind_kernel = pallas_blind.make_blind_rotate_kernel(
+            p, plan,
+            tile=int(os.environ.get("REDSEC_BLIND_TILE", "64")),
+            interpret=jax.default_backend() == "cpu",
+        )
+
     # Fused Pallas round kernel: NTT -> pointwise -> INTT -> CRT in VMEM.
     # Opt-in (REDSEC_ROUND_KERNEL=1|partial): measured 2x slower than the XLA
     # formulation at tile 8 on v5e and compile-bound at tile 32 on the
@@ -314,6 +346,10 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         acc_b = rotate(tv, (two_n - bbar) % two_n)
         acc = jnp.stack([jnp.zeros_like(acc_b), acc_b], axis=1)  # [B, 2, N]
 
+        if blind_kernel is not None:
+            # bk_ntt here is the packed int16 tensor [P, n, rows, 8, N]
+            return blind_kernel(acc, abar, bk_ntt)
+
         def bk_slice(bk_ntt, i):
             return tuple(
                 jax.lax.dynamic_index_in_dim(bk, i, axis=0, keepdims=False)
@@ -385,9 +421,10 @@ def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
     ``(ct [B, n+1], testvect [N]|[B, N]) -> [B, n+1]``."""
     impl = make_bootstrap_impl(dkey.params, dkey.plan, unroll)
     jitted = jax.jit(impl)
+    key_arg = _key_material(dkey)
 
     def bootstrap(ct, testvect):
-        return jitted(dkey.bk_ntt, dkey.ksk_limbs, ct, testvect)
+        return jitted(key_arg, dkey.ksk_limbs, ct, testvect)
 
     bootstrap.impl = impl  # for callers composing larger jits
     return bootstrap
@@ -426,9 +463,10 @@ def make_chunked_bootstrap(dkey: DeviceCloudKey, chunk: int = 1024):
     """Chunked PBS bound to a device key (jitted per batch shape)."""
     impl = make_chunked_impl(dkey.params, dkey.plan, chunk)
     jitted = jax.jit(impl)
+    key_arg = _key_material(dkey)
 
     def run(ct, testvect):
-        return jitted(dkey.bk_ntt, dkey.ksk_limbs, ct, testvect)
+        return jitted(key_arg, dkey.ksk_limbs, ct, testvect)
 
     run.impl = impl
     return run
