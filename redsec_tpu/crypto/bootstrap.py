@@ -40,10 +40,15 @@ from .torus import mod_switch_to_torus32
 class DeviceCloudKey:
     """Device-resident evaluation key: BK pre-transformed to the CRT-NTT
     domain (uint16 residues), KSK as sign-balanced int8 limbs of the flat
-    table so the key switch runs as one-hot x table int8 matmuls on the MXU."""
+    table so the key switch runs as one-hot x table int8 matmuls on the MXU.
+
+    For parameter sets without NTT-friendly primes (N >= 4096: ``medium``
+    and ``large``), ``plan`` is None and ``bk_ntt`` holds ONE int8 tensor
+    [n, 8, rows, N]: reversed-tap 8-bit limbs of the BK polynomials, feeding
+    the exact int8-convolution (schoolbook) external product."""
 
     params: TfheParams
-    plan: ntt_mod.NttPlan
+    plan: ntt_mod.NttPlan | None
     bk_ntt: Tuple[jax.Array, ...]  # per prime: uint16 [n, rows, 2, limbs, N]
     ksk_limbs: jax.Array  # int8 [4, N * t, n+1] (multiply-form KSK)
 
@@ -65,15 +70,23 @@ BK_LIMB_BITS = 8  # 4 x 8-bit limbs: keeps the row-accumulated external
 BK_LIMBS = 32 // BK_LIMB_BITS
 
 
-def _bootstrap_plan(p: TfheParams) -> ntt_mod.NttPlan:
-    return ntt_mod.make_plan(
-        p.N, max_operand=p.half_bg, limb_bits=BK_LIMB_BITS, accum=p.decomp_rows
-    )
+def _bootstrap_plan(p: TfheParams) -> ntt_mod.NttPlan | None:
+    """NTT plan for the parameter set, or None when no int32-range NTT primes
+    exist for N (>= 4096) — those sets use the exact conv-schoolbook external
+    product instead (REDSEC_FORCE_SCHOOLBOOK=1 forces it everywhere)."""
+    if os.environ.get("REDSEC_FORCE_SCHOOLBOOK", "0") != "0":
+        return None
+    try:
+        return ntt_mod.make_plan(
+            p.N, max_operand=p.half_bg, limb_bits=BK_LIMB_BITS, accum=p.decomp_rows
+        )
+    except ValueError:
+        return None
 
 
-def _use_blind_kernel(p: TfheParams, plan: ntt_mod.NttPlan) -> bool:
+def _use_blind_kernel(p: TfheParams, plan: ntt_mod.NttPlan | None) -> bool:
     """Whole-blind-rotation Pallas mega-kernel (REDSEC_BLIND_KERNEL=1)."""
-    if os.environ.get("REDSEC_BLIND_KERNEL", "0") == "0":
+    if plan is None or os.environ.get("REDSEC_BLIND_KERNEL", "0") == "0":
         return False
     from . import pallas_blind
 
@@ -109,6 +122,44 @@ def _inv_ntt(y, plan, pi):
     return ntt_mod.intt_device(y, plan, pi)
 
 
+def _int8_limbs_device(x):
+    """int32 [...] -> list of 4 sign-balanced int8 limb arrays.
+
+    Recombination sum(l_i * 256^i) is exact mod 2^32 (the top limb is
+    mod-256-balanced, which suffices: its excess is a multiple of 2^32)."""
+    limbs = []
+    cur = x
+    for _ in range(4):
+        lo = ((cur + np.int32(128)) & np.int32(255)) - np.int32(128)
+        limbs.append(lo.astype(jnp.int8))
+        cur = (cur - lo) >> np.int32(8)
+    return limbs
+
+
+def _prepare_cloud_key_schoolbook(cloud: CloudKey, chunk: int) -> DeviceCloudKey:
+    """Device key prep for parameter sets without NTT primes (medium/large,
+    client/gen_secure_keyset.cpp:9-45): the BK becomes reversed-tap int8
+    limbs [n, 2*4, rows, N] feeding one exact int8 convolution per round
+    (accumulation bound rows*N*128^2 < 2^31 for all shipped sets)."""
+    p = cloud.params
+    rows = p.decomp_rows
+    bk_dev = jnp.asarray(cloud.bk.astype(np.int32))  # [n, rows, 2, N]
+
+    @jax.jit
+    def transform_chunk(bk):
+        limbs = jnp.stack(_int8_limbs_device(bk), axis=0)  # [4, c, rows, 2, N]
+        k = limbs[..., ::-1]  # reversed taps for the valid correlation
+        # -> [c, 2*4, rows, N]: channel (u*4 + bl)
+        return k.transpose(1, 3, 0, 2, 4).reshape(bk.shape[0], 8, rows, p.N)
+
+    parts = [transform_chunk(bk_dev[i0 : i0 + chunk]) for i0 in range(0, p.n, chunk)]
+    bk_sb = jnp.concatenate(parts, axis=0)
+    ksk_limbs = jnp.asarray(
+        _int8_limbs_np(cloud.ksk.reshape(-1, p.n + 1).astype(np.int32))
+    )
+    return DeviceCloudKey(params=p, plan=None, bk_ntt=(bk_sb,), ksk_limbs=ksk_limbs)
+
+
 def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
     """Transform the host CloudKey for device evaluation (NTT of each BK
     polynomial's 8-bit limbs, per CRT prime).
@@ -119,6 +170,8 @@ def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
     """
     p = cloud.params
     plan = _bootstrap_plan(p)
+    if plan is None:
+        return _prepare_cloud_key_schoolbook(cloud, chunk)
     bk_dev = jnp.asarray(cloud.bk.astype(np.int32))  # [n, rows, 2, N]
 
     @jax.jit
@@ -196,7 +249,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     ks_t, ks_base, ks_basebit = p.ks_t, p.ks_base, p.ks_basebit
     prec_offset = 1 << (32 - (1 + ks_basebit * ks_t))
 
-    primes = plan.primes
+    primes = plan.primes if plan is not None else ()
 
     def mod_switch(x):
         u = x.astype(jnp.uint32)
@@ -232,6 +285,45 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         d = d.astype(jnp.int32) - np.int32(half_bg)
         return d.reshape(x.shape[0], rows, N)
 
+    def external_delta_schoolbook(diff, k_round):
+        """Exact schoolbook external product as one int8 convolution (for
+        parameter sets without NTT primes): digits' [-d|d] extension split
+        into 8-bit limbs correlates against reversed-tap BK limbs; int32
+        accumulation is exact (rows*N*128^2 < 2^31) and limb recombination
+        wraps mod 2^32 — bit-identical to the NTT path.
+
+        diff [B, 2, N] torus; k_round int8 [2*4, rows, N] -> delta [B, 2, N].
+        """
+        digits = decompose(diff)  # [B, rows, N] in [-half_bg, half_bg]
+        ext = jnp.concatenate([-digits, digits], axis=-1)  # [B, rows, 2N]
+        dl_count = 1 if half_bg <= 128 else 2
+        cur, dlimbs = ext, []
+        for _ in range(dl_count - 1):
+            lo = ((cur + np.int32(128)) & np.int32(255)) - np.int32(128)
+            dlimbs.append(lo)
+            cur = (cur - lo) >> np.int32(8)
+        dlimbs.append(cur)
+        x = jnp.stack(dlimbs, axis=1).astype(jnp.int8)  # [B, dl, rows, 2N]
+        bsz = x.shape[0]
+        x = x.reshape(bsz * dl_count, rows, 2 * N)
+        out = jax.lax.conv_general_dilated(
+            x, k_round, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.int32,
+        )[..., 1:].reshape(bsz, dl_count, 2, BK_LIMBS, N)
+        delta = []
+        for u in range(2):
+            accum = None
+            for dl in range(dl_count):
+                for bl in range(BK_LIMBS):
+                    if dl + bl >= 4:
+                        continue  # contributes a multiple of 2^32
+                    v = out[:, dl, u, bl, :]
+                    v = v << np.int32(8 * (dl + bl)) if dl + bl else v
+                    accum = v if accum is None else accum + v
+            delta.append(accum)
+        return jnp.stack(delta, axis=1)
+
     # Pointwise default pairs with the NTT flavor: the matmul NTT's output
     # layout fuses well with the GEMM contraction (310/s vs 147/s for
     # matmul+lazy at batch 256 on v5e); the radix-2 NTT prefers the fused
@@ -259,6 +351,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     _rk_env = os.environ.get("REDSEC_ROUND_KERNEL", "0")
     use_round_kernel = (
         _rk_env != "0"
+        and plan is not None
         and len(plan.primes) == 2
         and ntt_matmul.supported(p.N)
         and ntt_matmul._split_rc(p.N)[1] == 128
@@ -349,6 +442,18 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         if blind_kernel is not None:
             # bk_ntt here is the packed int16 tensor [P, n, rows, 8, N]
             return blind_kernel(acc, abar, bk_ntt)
+
+        if plan is None:  # conv-schoolbook path (no NTT primes for this N)
+            bk_sb = bk_ntt[0]  # int8 [n, 8, rows, N]
+
+            def body_sb(i, acc):
+                ai = abar[:, i]
+                rot = rotate(acc, ai)
+                diff = rot - acc
+                k_round = jax.lax.dynamic_index_in_dim(bk_sb, i, 0, keepdims=False)
+                return acc + external_delta_schoolbook(diff, k_round)
+
+            return jax.lax.fori_loop(0, n, body_sb, acc, unroll=unroll)
 
         def bk_slice(bk_ntt, i):
             return tuple(
@@ -503,7 +608,10 @@ def bootstrap_host(cloud: CloudKey, ct: np.ndarray, testvect: np.ndarray) -> np.
         return np.stack(digs)  # [l, N]
 
     def poly_mul_torus(d, c):
-        """digit poly x torus poly -> torus poly (exact via limbs + CRT)."""
+        """digit poly x torus poly -> torus poly (exact via limbs + CRT;
+        int64 schoolbook when the parameter set has no NTT primes)."""
+        if plan is None:
+            return ntt_mod.negacyclic_mul_host(d, c, N)
         c_u = c.astype(np.uint32)
         out = np.zeros(N, dtype=np.int64)
         for sh in range(0, 32, BK_LIMB_BITS):

@@ -20,7 +20,8 @@ Primes: p ≡ 1 (mod 2N) with p < 46341 so every butterfly product fits in
 int32.  For N ≤ 1024 exactly three exist: 12289, 18433, 40961 — two cover the
 Bg=2^3 decomposition (small_v2), all three cover Bg=2^10 (small).  N >= 4096
 (medium/large parameter sets) has no usable primes in this range; those sets
-use the host int64 reference path instead.
+use the exact int8-convolution schoolbook external product instead
+(bootstrap.external_delta_schoolbook).
 """
 
 from __future__ import annotations
