@@ -37,7 +37,7 @@ def main():
     from redsec_tpu.formats.keys import ensure_keyset
 
     params_name = os.environ.get("REDSEC_BENCH_PARAMS", "small_v2")
-    batch = int(os.environ.get("REDSEC_BENCH_BATCH", "1024"))
+    batch = int(os.environ.get("REDSEC_BENCH_BATCH", "512"))
     iters = int(os.environ.get("REDSEC_BENCH_ITERS", "4"))
 
     params = get_params(params_name)

@@ -51,6 +51,10 @@ class DeviceCloudKey:
     plan: ntt_mod.NttPlan | None
     bk_ntt: Tuple[jax.Array, ...]  # per prime: uint16 [n, rows, 2, limbs, N]
     ksk_limbs: jax.Array  # int8 [4, N * t, n+1] (multiply-form KSK)
+    # Domain ordering the BK was transformed with ("radix2" bit-reversed,
+    # "matmul" four-step, or "schoolbook" raw limbs). The digit transform at
+    # bootstrap time MUST use the same ordering; binding asserts agreement.
+    ntt_flavor: str = "radix2"
 
 
 def _int8_limbs_np(x: np.ndarray):
@@ -88,6 +92,8 @@ def _use_blind_kernel(p: TfheParams, plan: ntt_mod.NttPlan | None) -> bool:
     """Whole-blind-rotation Pallas mega-kernel (REDSEC_BLIND_KERNEL=1)."""
     if plan is None or os.environ.get("REDSEC_BLIND_KERNEL", "0") == "0":
         return False
+    if not _use_matmul_ntt(p.N):
+        return False  # kernel tables use the four-step (matmul) ordering
     from . import pallas_blind
 
     return pallas_blind.supported(p, plan)
@@ -95,8 +101,18 @@ def _use_blind_kernel(p: TfheParams, plan: ntt_mod.NttPlan | None) -> bool:
 
 def _key_material(dkey: "DeviceCloudKey"):
     """The key-argument form the bootstrap impl expects: the packed int16
-    streaming tensor for the mega-kernel path, else the per-prime tuple."""
+    streaming tensor for the mega-kernel path, else the per-prime tuple.
+    Asserts the key's NTT-domain ordering matches the active flavor (a key
+    prepared under one flavor is garbage under the other)."""
     p, plan = dkey.params, dkey.plan
+    expect = ("schoolbook" if plan is None
+              else "matmul" if _use_matmul_ntt(p.N) else "radix2")
+    if dkey.ntt_flavor != expect:
+        raise ValueError(
+            f"device key was prepared with NTT flavor {dkey.ntt_flavor!r} but "
+            f"the current configuration needs {expect!r}; re-run "
+            f"prepare_cloud_key under the same REDSEC_NTT setting"
+        )
     if _use_blind_kernel(p, plan):
         from . import pallas_blind
 
@@ -105,9 +121,12 @@ def _key_material(dkey: "DeviceCloudKey"):
 
 
 def _use_matmul_ntt(N: int) -> bool:
-    """Four-step MXU matmul NTT by default (orders of magnitude faster than
-    the lane-hostile radix-2 path on TPU); REDSEC_NTT=radix2 to override."""
-    return os.environ.get("REDSEC_NTT", "matmul") == "matmul" and ntt_matmul.supported(N)
+    """NTT flavor: radix-2 butterflies (default) or the four-step MXU matmul
+    formulation (REDSEC_NTT=matmul). Both are exact; measured end-to-end
+    bootstrap rates on the current backend favor radix-2 (534/s vs 486/s at
+    batch 512) — the matmul flavor pays N-major relayouts around the
+    contraction that the butterfly chain avoids."""
+    return os.environ.get("REDSEC_NTT", "radix2") == "matmul" and ntt_matmul.supported(N)
 
 
 def _fwd_ntt(x, plan, pi):
@@ -157,7 +176,8 @@ def _prepare_cloud_key_schoolbook(cloud: CloudKey, chunk: int) -> DeviceCloudKey
     ksk_limbs = jnp.asarray(
         _int8_limbs_np(cloud.ksk.reshape(-1, p.n + 1).astype(np.int32))
     )
-    return DeviceCloudKey(params=p, plan=None, bk_ntt=(bk_sb,), ksk_limbs=ksk_limbs)
+    return DeviceCloudKey(params=p, plan=None, bk_ntt=(bk_sb,),
+                          ksk_limbs=ksk_limbs, ntt_flavor="schoolbook")
 
 
 def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
@@ -196,7 +216,10 @@ def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
     ksk_limbs = jnp.asarray(
         _int8_limbs_np(cloud.ksk.reshape(-1, p.n + 1).astype(np.int32))
     )
-    return DeviceCloudKey(params=p, plan=plan, bk_ntt=tuple(bk_ntt), ksk_limbs=ksk_limbs)
+    return DeviceCloudKey(
+        params=p, plan=plan, bk_ntt=tuple(bk_ntt), ksk_limbs=ksk_limbs,
+        ntt_flavor="matmul" if _use_matmul_ntt(p.N) else "radix2",
+    )
 
 
 def const_test_vector(params: TfheParams, value: int, msize: int) -> np.ndarray:
@@ -248,6 +271,11 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         offset = (offset + (half_bg << (32 - (j + 1) * bg_bit))) & 0xFFFFFFFF
     ks_t, ks_base, ks_basebit = p.ks_t, p.ks_base, p.ks_basebit
     prec_offset = 1 << (32 - (1 + ks_basebit * ks_t))
+    # In-context stage ablation for profiling (results become WRONG):
+    # REDSEC_ABLATE=rotate|extprod|pointwise|intt|ks — see scripts/
+    # profile_bootstrap.py. Stubs are shape-preserving and fold-resistant so
+    # the remaining stages keep their real cost.
+    ablate = os.environ.get("REDSEC_ABLATE", "")
 
     primes = plan.primes if plan is not None else ()
 
@@ -256,23 +284,37 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         u = (u + np.uint32(1 << (ms_shift - 1))) >> np.uint32(ms_shift)
         return (u & np.uint32(two_n - 1)).astype(jnp.int32)
 
+    def _shift_neg(out, s):
+        """X^s * out for static s in [0, 2N)."""
+        s = s % (2 * N)
+        neg, s = (s >= N), s % N
+        if s:
+            r = jnp.concatenate([-out[..., N - s:], out[..., : N - s]], axis=-1)
+        else:
+            r = out
+        return -r if neg else r
+
+    rot_radix = int(os.environ.get("REDSEC_ROT_RADIX", "2"))
+
     def rotate(polys, t):
         """X^t * poly (negacyclic) for per-batch exponents t [B] in [0, 2N).
 
-        Binary-decomposed: log2(2N) static power-of-two rotations with
-        per-batch selects — much cheaper than a lane-dimension gather, though
-        still ~40% of round time in HBM traffic (see PERFORMANCE.md; the
-        fused round kernel moves this into VMEM)."""
+        Digit-decomposed static shifts with per-batch selects (radix
+        REDSEC_ROT_RADIX, default 2: log2(2N) stages). The rotate+decompose
+        chain is ~70% of in-context round time on the current backend
+        (ablation numbers in PERFORMANCE.md)."""
         out = polys
-        for k in range(p.log2_2N):
-            s = 1 << k
-            if s < N:
-                rx = jnp.concatenate([-out[..., N - s:], out[..., : N - s]], axis=-1)
-            else:  # s == N: X^N = -1
-                rx = -out
-            bit = ((t >> k) & 1).astype(bool)
-            bit = bit.reshape(-1, *([1] * (polys.ndim - 1)))
-            out = jnp.where(bit, rx, out)
+        bits_per = max(1, rot_radix.bit_length() - 1)
+        k = 0
+        while k < p.log2_2N:
+            nb = min(bits_per, p.log2_2N - k)
+            d = (t >> k) & ((1 << nb) - 1)
+            d = d.reshape(-1, *([1] * (polys.ndim - 1)))
+            r = out
+            for c in range(1, 1 << nb):
+                r = jnp.where(d == c, _shift_neg(out, c << k), r)
+            out = r
+            k += nb
         return out
 
     dec_shifts = np.array([32 - (j + 1) * bg_bit for j in range(l)], dtype=np.uint32)
@@ -352,6 +394,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     use_round_kernel = (
         _rk_env != "0"
         and plan is not None
+        and _use_matmul_ntt(p.N)  # kernel tables use the four-step ordering
         and len(plan.primes) == 2
         and ntt_matmul.supported(p.N)
         and ntt_matmul._split_rc(p.N)[1] == 128
@@ -423,10 +466,15 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
             dmod = digits + np.int32(prime) * (digits < 0).astype(jnp.int32)
             dn = _fwd_ntt(dmod, plan, pi)  # [B, rows, N]
             bki = bk_round[pi].astype(jnp.int32)  # [rows, 2, limbs, N]
-            if pointwise_mode == "gemm":
+            if ablate == "pointwise":
+                s = dn[:, : 2 * BK_LIMBS, :].reshape(-1, 2, BK_LIMBS, plan.N)
+            elif pointwise_mode == "gemm":
                 s = _pointwise_rows_gemm(dn, bki, prime)
             else:
                 s = _pointwise_rows_lazy(dn, bki, prime)
+            if ablate == "intt":
+                conv.append(s)
+                continue
             conv.append(_inv_ntt(s, plan, pi))
         out = None
         for limb in range(BK_LIMBS):
@@ -471,8 +519,11 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         else:
             def body(i, acc):
                 ai = abar[:, i]
-                rot = rotate(acc, ai)
+                rot = acc * np.int32(3) if ablate == "rotate" else rotate(acc, ai)
                 diff = rot - acc
+                if ablate == "extprod":
+                    digits = decompose(diff)
+                    return acc + digits[:, :2, :]
                 return acc + external_delta(diff, bk_slice(bk_ntt, i))
 
         return jax.lax.fori_loop(0, n, body, acc, unroll=unroll)
@@ -516,6 +567,8 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         )
         acc = blind_rotate(abar, bbar, tv, bk_ntt)
         a_n, b_n = sample_extract(acc)
+        if ablate == "ks":
+            return jnp.concatenate([a_n[:, :n], b_n[:, None]], axis=1)
         return key_switch(a_n, b_n, ksk_limbs)
 
     return bootstrap_impl
@@ -535,7 +588,7 @@ def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
     return bootstrap
 
 
-def make_chunked_impl(p: TfheParams, plan: ntt_mod.NttPlan, chunk: int = 1024):
+def make_chunked_impl(p: TfheParams, plan: ntt_mod.NttPlan, chunk: int = 512):
     """Un-jitted chunked PBS: batches larger than ``chunk`` run as a
     ``lax.map`` over fixed-size slices (one compiled body, sequential) so
     arbitrarily large activation tensors — e.g. cifar/binarynet's 131k sign
@@ -564,7 +617,7 @@ def make_chunked_impl(p: TfheParams, plan: ntt_mod.NttPlan, chunk: int = 1024):
     return run
 
 
-def make_chunked_bootstrap(dkey: DeviceCloudKey, chunk: int = 1024):
+def make_chunked_bootstrap(dkey: DeviceCloudKey, chunk: int = 512):
     """Chunked PBS bound to a device key (jitted per batch shape)."""
     impl = make_chunked_impl(dkey.params, dkey.plan, chunk)
     jitted = jax.jit(impl)

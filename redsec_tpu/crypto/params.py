@@ -78,6 +78,19 @@ LARGE = _p("large", n=6144, N=8192, bg_bit=10, l=3, ks_basebit=1, ks_t=18,
 SMALL_V2_N2048 = _p("small_v2_n2048", n=350, N=2048, bg_bit=3, l=10,
                     ks_basebit=3, ks_t=9, alpha_ks=2.0**-25, alpha_bk=2.0**-30)
 
+# TPU-native performance set: identical lattice security to small_v2 (same
+# n, N, noise rates — security depends only on those), but a wider gadget
+# base Bg=2^5 x l=6 (same 30-bit precision, 12 decomposition rows instead of
+# 20) cuts external-product work 1.67x.  Noise cost: the Bg^2/12 BK-noise
+# amplification grows the per-bootstrap output noise from ~0.024 to ~0.073
+# message slots; across the deepest shipped fan-in (1024-wide FC sums) that
+# accumulates to ~2.3 slots — negligible against the n=350->2N mod-switch
+# rounding noise of ~7.6 slots that dominates both sets (PERFORMANCE.md).
+# The reference's fixed C++/CUDA builds never exposed this trade-off; its
+# own 'small' set already uses an even wider base (Bg=2^10, l=3).
+SMALL_V2_TPU = _p("small_v2_tpu", n=350, N=1024, bg_bit=5, l=6,
+                  ks_basebit=3, ks_t=9, alpha_ks=2.0**-25, alpha_bk=2.0**-30)
+
 # Deterministic zero-noise set for bit-exact pipeline tests: same geometry
 # ratios as small_v2 (msg_space = 2 * 2N, i.e. 2 message units per rotation
 # slot) but tiny, so encrypted results match the plaintext oracle up to the
@@ -93,8 +106,8 @@ SMALL_V2_NOISELESS = _p("small_v2_noiseless", n=350, N=1024, bg_bit=3, l=10,
 
 PARAM_SETS = {
     p.name: p
-    for p in (SMALL_V2, SMALL_V2_N2048, SMALL, MEDIUM, LARGE, TEST_NOISELESS,
-              SMALL_V2_NOISELESS)
+    for p in (SMALL_V2, SMALL_V2_N2048, SMALL_V2_TPU, SMALL, MEDIUM, LARGE,
+              TEST_NOISELESS, SMALL_V2_NOISELESS)
 }
 
 

@@ -19,7 +19,7 @@ from ..ops import encrypted as eops
 
 
 def build_forward_impl(
-    model: ModelPlan, params, plan, pbs_chunk: int = 1024
+    model: ModelPlan, params, plan, pbs_chunk: int = 512
 ) -> Callable:
     """Un-jitted encrypted forward taking the evaluation key as arguments:
     ``impl(bk_ntt, ksk_limbs, x [B,H,W,C,n+1]) -> [B, classes, n+1]``.
@@ -53,7 +53,7 @@ def build_forward_impl(
 
 
 def build_encrypted_forward(
-    model: ModelPlan, dkey: DeviceCloudKey, jit: bool = True, pbs_chunk: int = 1024
+    model: ModelPlan, dkey: DeviceCloudKey, jit: bool = True, pbs_chunk: int = 512
 ) -> Callable[[jax.Array], jax.Array]:
     """Encrypted forward bound to a device key:
     int32 [B, H, W, C, n+1] -> [B, classes, n+1] in one jitted program."""

@@ -12,9 +12,13 @@ from redsec_tpu.crypto.params import TEST_NOISELESS
 
 
 def test_blind_kernel_bootstrap_matches_xla(monkeypatch):
+    # the mega-kernel's tables use the four-step (matmul) NTT ordering; the
+    # device key must be prepared in the same domain
+    monkeypatch.setenv("REDSEC_NTT", "matmul")
     P = TEST_NOISELESS
     sk, cloud = kg.keygen(P, seed=7)
     dkey = bs.prepare_cloud_key(cloud)
+    assert dkey.ntt_flavor == "matmul"
     rng = np.random.default_rng(3)
     vals = rng.integers(-300, 300, size=(6,))
     vals[vals == 0] = 1

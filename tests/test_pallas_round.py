@@ -54,6 +54,7 @@ def test_full_round_kernel_matches_xla_round():
 
 def test_kernel_bootstrap_matches_host_oracle(monkeypatch):
     monkeypatch.setenv("REDSEC_ROUND_KERNEL", "1")
+    monkeypatch.setenv("REDSEC_NTT", "matmul")  # kernel tables' ordering
     P = TEST_NOISELESS
     sk, cloud = kg.keygen(P, seed=42)
     dkey = bs.prepare_cloud_key(cloud)
