@@ -319,13 +319,17 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
 
     dec_shifts = np.array([32 - (j + 1) * bg_bit for j in range(l)], dtype=np.uint32)
 
+    # digits fit int8 whenever Bg <= 2^8: materializing them narrow quarters
+    # the largest intra-round intermediate ([B, rows, N])
+    digit_dtype = jnp.int8 if half_bg <= 127 else jnp.int32
+
     def decompose(x):
         """TFHE signed gadget decomposition (tGswTorus32PolynomialDecompH):
         x [B, 2, N] torus -> digits [B, rows, N] in [-Bg/2, Bg/2)."""
         u = x.astype(jnp.uint32) + np.uint32(offset)
         d = (u[:, :, None, :] >> dec_shifts[None, None, :, None]) & np.uint32(mask_mod)
         d = d.astype(jnp.int32) - np.int32(half_bg)
-        return d.reshape(x.shape[0], rows, N)
+        return d.reshape(x.shape[0], rows, N).astype(digit_dtype)
 
     def external_delta_schoolbook(diff, k_round):
         """Exact schoolbook external product as one int8 convolution (for
@@ -336,7 +340,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
 
         diff [B, 2, N] torus; k_round int8 [2*4, rows, N] -> delta [B, 2, N].
         """
-        digits = decompose(diff)  # [B, rows, N] in [-half_bg, half_bg]
+        digits = decompose(diff).astype(jnp.int32)  # [B, rows, N]
         ext = jnp.concatenate([-digits, digits], axis=-1)  # [B, rows, 2N]
         dl_count = 1 if half_bg <= 128 else 2
         cur, dlimbs = ext, []
@@ -453,9 +457,12 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         return s.reshape(-1, 2, BK_LIMBS, N)
 
     def external_delta(diff, bk_round):
-        """TGSW external product: decomp(diff) x BK_i -> torus delta [B, 2, N]."""
+        """TGSW external product: decomp(diff) x BK_i -> torus delta [B, 2, N].
+        digits stay int8 across the fusion boundary (4x smaller shared
+        intermediate); each prime branch widens inside its own fusion."""
         digits = decompose(diff)
         if round_kernel is not None:
+            digits = digits.astype(jnp.int32)
             bk_i32 = jnp.stack(
                 [bk_round[pi].astype(jnp.int32).reshape(rows, 2 * BK_LIMBS, N)
                  for pi in range(len(primes))]
@@ -463,7 +470,8 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
             return round_kernel(digits, bk_i32)
         conv = []  # per prime: [B, 2, limbs, N]
         for pi, prime in enumerate(primes):
-            dmod = digits + np.int32(prime) * (digits < 0).astype(jnp.int32)
+            d32 = digits.astype(jnp.int32)
+            dmod = d32 + np.int32(prime) * (d32 < 0).astype(jnp.int32)
             dn = _fwd_ntt(dmod, plan, pi)  # [B, rows, N]
             bki = bk_round[pi].astype(jnp.int32)  # [rows, 2, limbs, N]
             if ablate == "pointwise":
@@ -523,7 +531,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
                 diff = rot - acc
                 if ablate == "extprod":
                     digits = decompose(diff)
-                    return acc + digits[:, :2, :]
+                    return acc + digits[:, :2, :].astype(jnp.int32)
                 return acc + external_delta(diff, bk_slice(bk_ntt, i))
 
         return jax.lax.fori_loop(0, n, body, acc, unroll=unroll)
