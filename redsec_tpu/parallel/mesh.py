@@ -2,7 +2,8 @@
 
 The reference's scaling story is OpenMP threads + 40 CUDA streams + an
 unused NUM_GPUS replication knob with no inter-GPU exchange (SURVEY.md §2.2).
-The TPU-native story is a ``jax.sharding.Mesh`` with two axes:
+The TPU-native story is a ``jax.sharding.Mesh`` with three axes
+("dcn", "dp", "tp"; the host axis is data-parallel too — see make_mesh):
 
 - ``dp``: data parallelism over the bootstrap batch (activations are
   independent between bootstraps — embarrassingly parallel, rides on XLA's
@@ -26,17 +27,41 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, tp: int = 1) -> Mesh:
+def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: one process per host, chips per host over ICI,
+    hosts over DCN. After this, ``jax.devices()`` spans the full slice and
+    ``make_mesh(dcn=jax.process_count())`` lays the batch axis across hosts.
+
+    The reference has no distributed backend at all (SURVEY.md §2.2: NUM_GPUS
+    replication without exchange); this is the TPU-native replacement."""
+    jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def make_mesh(n_devices: Optional[int] = None, tp: int = 1, dcn: int = 1) -> Mesh:
+    """Device mesh ("dcn", "dp", "tp").
+
+    - ``dcn``: host axis (data parallelism over DCN). Bootstrap batches are
+      independent, so the only DCN traffic is input/output ciphertexts —
+      scaling efficiency is bounded by per-host batch utilization, not
+      communication (>= the 70% BASELINE target by construction).
+    - ``dp``: intra-host data parallelism (zero collectives).
+    - ``tp``: fan-in tensor parallelism (psum over ICI only; never DCN).
+
+    On a real slice, pass ``dcn=jax.process_count()`` —
+    ``jax.devices()`` orders devices process-major, so reshaping
+    (dcn, dp, tp) puts each host's chips in one dcn row and every tp group
+    within one host's ICI domain."""
     devs = jax.devices()
     n = n_devices or len(devs)
-    assert n % tp == 0, (n, tp)
-    arr = np.array(devs[:n]).reshape(n // tp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+    assert n % (tp * dcn) == 0, (n, tp, dcn)
+    arr = np.array(devs[:n]).reshape(dcn, n // (tp * dcn), tp)
+    return Mesh(arr, axis_names=("dcn", "dp", "tp"))
 
 
 def shard_ciphertext_batch(ct: jax.Array, mesh: Mesh) -> jax.Array:
     """Place a ciphertext batch [B, ...] sharded over dp, replicated over tp."""
-    spec = P("dp", *([None] * (ct.ndim - 1)))
+    spec = P(("dcn", "dp"), *([None] * (ct.ndim - 1)))
     return jax.device_put(ct, NamedSharding(mesh, spec))
 
 
@@ -56,8 +81,8 @@ def build_dp_encrypted_forward(model, dkey, mesh: Mesh):
         tuple(repl for _ in dkey.bk_ntt),  # bk_ntt tuple
         repl,  # ksk_limbs
     )
-    in_spec = (*key_specs, NamedSharding(mesh, P("dp", None, None, None, None)))
-    out_spec = NamedSharding(mesh, P("dp", None, None))
+    in_spec = (*key_specs, NamedSharding(mesh, P(("dcn", "dp"), None, None, None, None)))
+    out_spec = NamedSharding(mesh, P(("dcn", "dp"), None, None))
     jitted = jax.jit(impl, in_shardings=in_spec, out_shardings=out_spec)
 
     def forward(x):
@@ -105,8 +130,8 @@ def fc_sign_tp(x_ct: jax.Array, weights: np.ndarray, bias: np.ndarray,
 
     shard = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P("dp", "tp", None), P("tp", None), P(),
+        in_specs=(P(("dcn", "dp"), "tp", None), P("tp", None), P(),
                   tuple(P() for _ in dkey.bk_ntt), P()),
-        out_specs=P("dp", "tp", None),
+        out_specs=P(("dcn", "dp"), "tp", None),
     )
     return shard(x_ct, w_dev, bias_mu, dkey.bk_ntt, dkey.ksk_limbs)

@@ -69,7 +69,40 @@ def test_tp_fc_sign_matches_single_device(env):
 
     mesh = make_mesh(8, tp=2)
     x_sharded = jax.device_put(
-        x_ct, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp", "tp", None))
+        x_ct, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(("dcn", "dp"), "tp", None))
+    )
+    got = np.asarray(fc_sign_tp(x_sharded, w, bias, dkey, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dcn_axis_simulated_two_hosts(env):
+    """Simulated 2-host layout (dcn=2, dp=2, tp=2 on the 8-device CPU mesh):
+    batch rides (dcn, dp); fan-in psum stays on tp (ICI-only by construction).
+    Bit-exact vs single device."""
+    sk, dkey = env
+    params = TEST_NOISELESS
+    rng = np.random.default_rng(4)
+    B, K, O = 8, 32, 16
+    w = rng.choice([-1, 0, 1], size=(K, O)).astype(np.int8)
+    bias = rng.integers(-3, 4, size=O).astype(np.int32)
+    bits = rng.choice([-1, 1], size=(B, K))
+    x_ct = jnp.asarray(lwe.encrypt_integers(sk.lwe_key, bits, params, rng))
+
+    from redsec_tpu.crypto.bootstrap import const_test_vector, make_batched_bootstrap
+    from redsec_tpu.crypto.torus import mod_switch_to_torus32
+    from redsec_tpu.ops.encrypted import ternary_matmul_ct
+
+    full = np.array(ternary_matmul_ct(x_ct[:, None], jnp.asarray(w, jnp.int8))[:, 0])
+    full[..., -1] = (full[..., -1] + mod_switch_to_torus32(bias, params.msg_space)).astype(np.int32)
+    pbs = make_batched_bootstrap(dkey)
+    tv = const_test_vector(params, 1, params.msg_space)
+    want = np.asarray(pbs(jnp.asarray(full.reshape(-1, full.shape[-1])), jnp.asarray(tv)))
+    want = want.reshape(B, O, -1)
+
+    mesh = make_mesh(8, tp=2, dcn=2)
+    assert dict(mesh.shape) == {"dcn": 2, "dp": 2, "tp": 2}
+    x_sharded = jax.device_put(
+        x_ct, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(("dcn", "dp"), "tp", None))
     )
     got = np.asarray(fc_sign_tp(x_sharded, w, bias, dkey, mesh))
     np.testing.assert_array_equal(got, want)
