@@ -52,21 +52,18 @@ static i64 pow_mod(i64 b, i64 e, i64 m) {
     return r;
 }
 
-// Barrett reduction for p < 2^16: q = (x * m) >> 48, m = floor(2^48 / p).
+// Barrett reduction, valid for any odd p < 2^32 and x < 2^64:
+// m = floor((2^64 - 1) / p) (== floor(2^64 / p) for p not a power of two),
+// q = (x * m) >> 64 underestimates x/p by at most 2.
 struct Barrett {
     i64 p;
     u64 m;
-    void init(i64 prime) { p = prime; m = (~u64(0)) / u64(prime); m >>= 16; m += 1; }
+    void init(i64 prime) { p = prime; m = (~u64(0)) / u64(prime); }
     inline i64 mul(i64 a, i64 b) const {  // a, b in [0, p)
-        u64 x = u64(a) * u64(b);
-        u64 q = (u64)(((__uint128_t)x * m) >> 48);
-        i64 r = i64(x - q * u64(p));
-        if (r >= p) r -= p;
-        if (r >= p) r -= p;
-        return r;
+        return reduce64(u64(a) * u64(b));
     }
-    inline i64 reduce64(u64 x) const {  // x < 2^48
-        u64 q = (u64)(((__uint128_t)x * m) >> 48);
+    inline i64 reduce64(u64 x) const {  // any x < 2^64
+        u64 q = (u64)(((__uint128_t)x * m) >> 64);
         i64 r = i64(x - q * u64(p));
         while (r >= p) r -= p;
         return r;
@@ -223,8 +220,14 @@ void* cggi_engine_new(const int32_t* p_arr, const Torus32* bk, const Torus32* ks
     const Params& P = e->prm;
     e->rows = 2 * P.l;
 
-    // prime selection: cover 2 * N * (Bg/2) * 65535 with primes = 1 mod 2N
-    static const i64 cand[3] = {12289, 18433, 40961};
+    // prime selection: cover the exact row-accumulated convolution bound with
+    // primes = 1 mod 2N. The small entries (< 2^16) serve N <= 2048 exactly
+    // like crypto/ntt.py; the larger ones (int64-safe with the 64-bit
+    // Barrett) extend the engine to the medium/large sets (N = 4096/8192,
+    // client/gen_secure_keyset.cpp:9-45) that the int32 device NTT cannot
+    // reach (the device uses the conv-schoolbook path there instead).
+    static const i64 cand[8] = {12289, 18433, 40961, 65537, 114689,
+                                147457, 163841, 270337};
     i64 bound = 2LL * e->rows * P.N * (1LL << (P.bg_bit - 1)) * 255LL;
     i64 prod = 1;
     for (i64 c : cand) {

@@ -44,3 +44,27 @@ def test_native_programmable_tv():
     out = eng.bootstrap(triv, tv)
     dec = lwe.decrypt_integers(sk.lwe_key, out, params)
     np.testing.assert_array_equal(dec, np.clip(vals >> 3, 0, 7))
+
+
+def test_native_medium_geometry_matches_host():
+    """Medium-set geometry (N=4096, Bg=2^10, l=3 -> 3-prime CRT with the
+    64-bit-Barrett primes) on a reduced round count, vs the int64 host
+    oracle and the device schoolbook path."""
+    import dataclasses
+
+    from redsec_tpu.crypto.params import MEDIUM
+
+    P = dataclasses.replace(MEDIUM, name="medium_tiny", n=6,
+                            alpha_ks=0.0, alpha_bk=0.0, alpha_enc=0.0)
+    sk, cloud = kg.keygen(P, seed=5)
+    eng = native.NativeEngine(cloud)
+    rng = np.random.default_rng(6)
+    vals = np.array([123, -800])
+    ct = np.stack([lwe.encrypt_integers(sk.lwe_key, np.array([v]), P, rng)[0]
+                   for v in vals])
+    tv = bs.const_test_vector(P, 1, P.msg_space)
+    got = eng.bootstrap(ct, tv)
+    want = np.stack([bs.bootstrap_host(cloud, ct[b], tv) for b in range(2)])
+    np.testing.assert_array_equal(got, want)
+    dec = lwe.decrypt_integers(sk.lwe_key, got, P)
+    np.testing.assert_array_equal(dec, np.where(vals >= 0, 1, -1))
