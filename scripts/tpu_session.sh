@@ -1,6 +1,7 @@
 #!/bin/bash
-# Serial TPU measurement session: final bench + MNIST E2E at both parameter
-# sets. Run solo (one chip); each step appends to /tmp/tpu_session.log.
+# Serial TPU measurement session: final bench + encrypted E2E runs. Run SOLO
+# (one chip; concurrent jobs contend and can fault the tunnel backend).
+# Appends to /tmp/tpu_session.log.
 set -u
 cd "$(dirname "$0")/.."
 log=/tmp/tpu_session.log
@@ -13,8 +14,10 @@ run() {
   echo "" >> "$log"
 }
 
-run "bench small_v2 b256 (final)" env REDSEC_BENCH_BATCH=256 REDSEC_BENCH_ITERS=3 python bench.py
-run "mnist sign1024x1 small_v2 32img" python scripts/run_encrypted_mnist.py --images 32
-run "mnist sign1024x1 n2048 16img" python scripts/run_encrypted_mnist.py --images 16 --params small_v2_n2048
-run "bench n2048 b256" env REDSEC_BENCH_PARAMS=small_v2_n2048 REDSEC_BENCH_BATCH=256 REDSEC_BENCH_ITERS=3 python bench.py
+run "bench small_v2 b512 (headline)" env REDSEC_BENCH_BATCH=512 REDSEC_BENCH_ITERS=3 python bench.py
+run "bench small_v2_tpu b512" env REDSEC_BENCH_PARAMS=small_v2_tpu REDSEC_BENCH_BATCH=512 REDSEC_BENCH_ITERS=3 python bench.py
+run "mnist sign1024x1 small_v2_tpu 32img" python scripts/run_encrypted_mnist.py --images 32 --params small_v2_tpu
+run "mnist sign1024x1 small_v2 16img" python scripts/run_encrypted_mnist.py --images 16
+run "mnist relu1024x2 small_v2_tpu 8img" python scripts/run_encrypted_mnist.py --images 8 --model mnist/relu1024x2 --params small_v2_tpu
+run "cifar binarynet_small small_v2_tpu 1img" python scripts/run_encrypted_mnist.py --images 1 --model cifar/binarynet_small --params small_v2_tpu
 echo "SESSION_DONE" >> "$log"
