@@ -74,3 +74,22 @@ def test_medium_keygen_roundtrip():
     ct = lwe.encrypt_integers(key, vals, P, rng)
     dec = lwe.decrypt_integers(key, ct, P)
     np.testing.assert_array_equal(dec, vals)
+
+
+def test_schoolbook_chunked_matches_batched(monkeypatch):
+    """The lax.map chunked PBS (whole-model runtime path) over the schoolbook
+    external product."""
+    import jax.numpy as jnp2
+
+    monkeypatch.setenv("REDSEC_FORCE_SCHOOLBOOK", "1")
+    P = TEST_NOISELESS
+    sk, cloud = kg.keygen(P, seed=13)
+    dkey = bs.prepare_cloud_key(cloud)
+    rng = np.random.default_rng(8)
+    vals = rng.integers(-300, 300, size=(7,))
+    vals[vals == 0] = 1
+    ct = jnp2.asarray(lwe.encrypt_integers(sk.lwe_key, vals, P, rng))
+    tv = jnp2.asarray(bs.const_test_vector(P, 1, P.msg_space))
+    want = np.asarray(bs.make_batched_bootstrap(dkey)(ct, tv))
+    got = np.asarray(bs.make_chunked_bootstrap(dkey, chunk=3)(ct, tv))
+    np.testing.assert_array_equal(got, want)
