@@ -112,14 +112,19 @@ def _add_bias_body(x: jax.Array, bias_mu: np.ndarray) -> jax.Array:
     return x.at[..., -1].add(mu)
 
 
-def quant_sign_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Array:
-    """Sign activation: bias add + one sign bootstrap per activation."""
+def quant_sign_pre(plan: QuantPlan, x: jax.Array, params: TfheParams):
+    """PBS boundary for the sign activation: (biased x, tv [N]); the caller
+    flattens to [m, R], bootstraps, reshapes back."""
     mu = mod_switch_to_torus32(plan.bias, params.msg_space)
     x = _add_bias_body(x, mu)
-    B, H, W, C, R = x.shape
     tv = jnp.asarray(const_test_vector(params, 1, params.msg_space))
-    out = pbs(x.reshape(-1, R), tv)
-    return out.reshape(B, H, W, C, R)
+    return x, tv
+
+
+def quant_sign_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Array:
+    """Sign activation: bias add + one sign bootstrap per activation."""
+    xb, tv = quant_sign_pre(plan, x, params)
+    return pbs(xb.reshape(-1, xb.shape[-1]), tv).reshape(xb.shape)
 
 
 def quant_add_bias_enc(plan: QuantPlan, x: jax.Array, params: TfheParams) -> jax.Array:
@@ -146,19 +151,25 @@ def relu_test_vectors(plan: QuantPlan, params: TfheParams) -> np.ndarray:
     return mod_switch_to_torus32(out, msize).astype(np.int32)  # [C, N]
 
 
+def quant_relu_pre(plan: QuantPlan, x: jax.Array, params: TfheParams):
+    """PBS boundary for the DoReFa relu: (pre-biased x, per-activation tv
+    [m, N]); the caller flattens to [m, R], bootstraps, reshapes back."""
+    B, H, W, C, R = x.shape
+    half = np.int32(int(mod_switch_to_torus32(params.msg_space // 4, params.msg_space)))
+    x = x.at[..., -1].add(half)  # pre-bias into [0, msize/2)
+    tvs = jnp.asarray(relu_test_vectors(plan, params))  # [C, N]
+    tv_all = jnp.broadcast_to(tvs[None, :, :], (B * H * W, C, params.N)).reshape(-1, params.N)
+    return x, tv_all
+
+
 def quant_relu_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Array:
     """DoReFa relu as one per-channel programmable bootstrap.
 
     Valid while the conv output magnitude stays below msize/4 (half-torus
     trick); beyond that the phase wraps, exactly like the reference's leveled
     accumulation beyond its 4096 message space."""
-    B, H, W, C, R = x.shape
-    half = np.int32(int(mod_switch_to_torus32(params.msg_space // 4, params.msg_space)))
-    x = x.at[..., -1].add(half)  # pre-bias into [0, msize/2)
-    tvs = jnp.asarray(relu_test_vectors(plan, params))  # [C, N]
-    tv_all = jnp.broadcast_to(tvs[None, :, :], (B * H * W, C, params.N)).reshape(-1, params.N)
-    out = pbs(x.reshape(-1, R), tv_all)
-    return out.reshape(B, H, W, C, R)
+    xb, tv_all = quant_relu_pre(plan, x, params)
+    return pbs(xb.reshape(-1, xb.shape[-1]), tv_all).reshape(xb.shape)
 
 
 def maxpool_enc(plan: PoolPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Array:
@@ -170,6 +181,13 @@ def maxpool_enc(plan: PoolPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Ar
     Out-of-bounds window slots contribute zero ciphertexts and are excluded
     from the count.
     """
+    s, tv = maxpool_pre(plan, x, params)
+    return pbs(s.reshape(-1, s.shape[-1]), tv).reshape(s.shape)
+
+
+def maxpool_pre(plan: PoolPlan, x: jax.Array, params: TfheParams):
+    """PBS boundary for the window-OR maxpool: (biased window sums
+    [B, OH, OW, C, R], tv [N]); caller flattens, bootstraps, reshapes."""
     patches = gather_patches(
         x, plan.window, plan.stride, plan.offset, (plan.out_h, plan.out_w)
     )  # [B, OH, OW, wh, ww, C, R]
@@ -182,7 +200,5 @@ def maxpool_enc(plan: PoolPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Ar
     counts = ok_h[:, None] * ok_w[None, :]  # [OH, OW]
     bias_mu = mod_switch_to_torus32(counts - 2, params.msg_space)  # [OH, OW]
     s = s.at[..., -1].add(jnp.asarray(bias_mu, jnp.int32)[None, :, :, None])
-    B, OH, OW, C, R = s.shape
     tv = jnp.asarray(const_test_vector(params, 1, params.msg_space))
-    out = pbs(s.reshape(-1, R), tv)
-    return out.reshape(B, OH, OW, C, R)
+    return s, tv

@@ -84,23 +84,110 @@ def build_forward_impl(
     return forward
 
 
+def build_staged_forward(
+    model: ModelPlan, dkey: DeviceCloudKey, pbs_chunk: int = 512,
+    pbs_macro: int = 16384,
+) -> Callable[[jax.Array], jax.Array]:
+    """Encrypted forward with HOST-level PBS macro-batching.
+
+    Each layer's leveled prefix (conv/pool/bias, up to the PBS boundary) is
+    its own jitted program; the bootstraps then run as a host loop of
+    <= ``pbs_macro``-sized jitted chunked-PBS dispatches. Required for nets
+    whose single-layer activation counts exceed what one device program can
+    hold on this backend (CIFAR conv layers: 65k+ bootstraps — the worker
+    crashes above ~32k per program); also keeps every compiled program small.
+    """
+    from ..crypto.bootstrap import _key_material, make_chunked_impl
+
+    params, plan = dkey.params, dkey.plan
+    key_arg = _key_material(dkey)
+    pbs_impl = jax.jit(make_chunked_impl(params, plan, chunk=pbs_chunk))
+
+    def pbs_host(ct, tv):
+        m = ct.shape[0]
+        if m <= pbs_macro:
+            return pbs_impl(key_arg, dkey.ksk_limbs, ct, tv)
+        tv_full = jnp.broadcast_to(
+            jnp.asarray(tv, jnp.int32).reshape(-1, params.N), (m, params.N))
+        outs = []
+        for i0 in range(0, m, pbs_macro):
+            sl = ct[i0 : i0 + pbs_macro]
+            tl = tv_full[i0 : i0 + pbs_macro]
+            pad = pbs_macro - sl.shape[0]
+            if pad:
+                sl = jnp.concatenate([sl, jnp.zeros((pad, sl.shape[1]), sl.dtype)])
+                tl = jnp.concatenate([tl, jnp.zeros((pad, params.N), tl.dtype)])
+            outs.append(pbs_impl(key_arg, dkey.ksk_limbs, sl, tl)[: m - i0])
+        return jnp.concatenate(outs, axis=0)
+
+    def _pre_conv(layer):
+        def run(x):
+            if layer.conv is not None:
+                x = eops.conv_enc(layer.conv, x, params.msg_space)
+            if layer.sumpool is not None:
+                x = eops.sumpool_enc(layer.sumpool, x)
+            q = layer.quant
+            if q.mode == Activation.SIGN:
+                ct, tv = eops.quant_sign_pre(q, x, params)
+                return ct, tv, x.shape
+            if q.mode == Activation.NONE:
+                x = eops.quant_add_bias_enc(q, x, params)
+                return x, None, x.shape
+            ct, tv = eops.quant_relu_pre(q, x, params)
+            return ct, tv, x.shape
+
+        return run
+
+    pre_fns = [jax.jit(_pre_conv(layer)) for layer in model.layers]
+    mpre_fns = {
+        i: jax.jit(lambda x, l=layer: eops.maxpool_pre(l.maxpool, x, params))
+        for i, layer in enumerate(model.layers) if layer.maxpool is not None
+    }
+
+    def forward(x: jax.Array) -> jax.Array:
+        for i, layer in enumerate(model.layers):
+            ct, tv, shape = pre_fns[i](x)
+            x = ct if tv is None else pbs_host(ct, tv).reshape(shape)
+            if layer.maxpool is not None:
+                ct, tv, mshape = mpre_fns[i](x)
+                x = pbs_host(ct, tv).reshape(mshape)
+        return x.reshape(x.shape[0], -1, x.shape[-1])
+
+    return forward
+
+
 def build_encrypted_forward(
-    model: ModelPlan, dkey: DeviceCloudKey, jit="auto", pbs_chunk: int = 512
+    model: ModelPlan, dkey: DeviceCloudKey, jit="auto", pbs_chunk: int = 512,
+    pbs_macro: int = 16384,
 ) -> Callable[[jax.Array], jax.Array]:
     """Encrypted forward bound to a device key:
     int32 [B, H, W, C, n+1] -> [B, classes, n+1].
 
-    ``jit``: True = one whole-model program; "layer" = one program per layer
-    (for nets whose single HLO exceeds the compile service's limits);
-    "auto" = whole-model below 8 layers, per-layer above; False = eager.
+    ``jit``: True = one whole-model program; "layer" = one program per layer;
+    "staged" = per-layer leveled programs + host-macro-batched PBS (for nets
+    with huge per-layer bootstrap counts); "auto" picks by model size;
+    False = eager.
     """
     from ..crypto.bootstrap import _key_material
 
     impl = build_forward_impl(model, dkey.params, dkey.plan, pbs_chunk)
-    key_arg = _key_material(dkey)
-    if jit == "auto":
-        jit = True if len(model.layers) < 8 else "layer"
 
+    if jit == "auto":
+        from ..utils.metrics import summarize
+
+        biggest = max(
+            (s.get("bootstraps", 0) for s in summarize(model).get("layers", [])),
+            default=0,
+        )
+        jit = True if len(model.layers) < 8 else (
+            "staged" if biggest > pbs_macro else "layer")
+
+    if jit == "staged":
+        forward = build_staged_forward(model, dkey, pbs_chunk, pbs_macro)
+        forward.impl = impl
+        return forward
+
+    key_arg = _key_material(dkey)
     if jit == "layer":
         layer_fns = [jax.jit(f) for f in
                      build_layer_impls(model, dkey.params, dkey.plan, pbs_chunk)]
