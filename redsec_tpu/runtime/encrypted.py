@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..crypto.bootstrap import DeviceCloudKey, make_chunked_impl
@@ -19,9 +20,10 @@ from ..ops import encrypted as eops
 
 
 def build_layer_impls(model: ModelPlan, params, plan, pbs_chunk: int = 512):
-    """Per-layer un-jitted forwards ``impl(bk_ntt, ksk_limbs, x) -> x'`` plus
-    a final flatten. Lets callers jit layer-by-layer: large nets (CIFAR) as a
-    single whole-model HLO can exceed what a remote compile service accepts.
+    """Per-layer un-jitted forwards ``impl(bk_ntt, ksk_limbs, x) -> x'``.
+    The caller is responsible for the final reshape to [B, classes, n+1].
+    Lets callers jit layer-by-layer: large nets (CIFAR) as a single
+    whole-model HLO can exceed what a remote compile service accepts.
     """
     pbs_impl = make_chunked_impl(params, plan, chunk=pbs_chunk)
 
@@ -147,10 +149,15 @@ def build_staged_forward(
     def forward(x: jax.Array) -> jax.Array:
         for i, layer in enumerate(model.layers):
             ct, tv, shape = pre_fns[i](x)
-            x = ct if tv is None else pbs_host(ct, tv).reshape(shape)
+            if tv is None:
+                x = ct
+            else:
+                # pbs expects flat [m, n+1]; reshape back to the layer shape
+                x = pbs_host(ct.reshape(-1, ct.shape[-1]), tv).reshape(shape)
             if layer.maxpool is not None:
-                ct, tv, mshape = mpre_fns[i](x)
-                x = pbs_host(ct, tv).reshape(mshape)
+                ct, tv = mpre_fns[i](x)
+                mshape = ct.shape
+                x = pbs_host(ct.reshape(-1, ct.shape[-1]), tv).reshape(mshape)
         return x.reshape(x.shape[0], -1, x.shape[-1])
 
     return forward
@@ -179,12 +186,17 @@ def build_encrypted_forward(
             (s.get("bootstraps", 0) for s in summarize(model).get("layers", [])),
             default=0,
         )
-        jit = True if len(model.layers) < 8 else (
-            "staged" if biggest > pbs_macro else "layer")
+        # the per-program bootstrap ceiling dominates: a shallow-but-wide net
+        # whose biggest layer exceeds pbs_macro must stage regardless of depth
+        if biggest > pbs_macro:
+            jit = "staged"
+        else:
+            jit = True if len(model.layers) < 8 else "layer"
 
     if jit == "staged":
         forward = build_staged_forward(model, dkey, pbs_chunk, pbs_macro)
         forward.impl = impl
+        forward.mode = "staged"
         return forward
 
     key_arg = _key_material(dkey)
@@ -203,6 +215,7 @@ def build_encrypted_forward(
             return fn(key_arg, dkey.ksk_limbs, x)
 
     forward.impl = impl
+    forward.mode = jit
     return forward
 
 

@@ -152,6 +152,73 @@ def test_full_jit_encrypted_forward_runs(keys):
     assert np.abs(scores).max() <= 12  # |fan-in 6 + bias 3| bound
 
 
+def test_staged_forward_matches_full_jit(keys):
+    """jit="staged" (per-layer leveled programs + host macro-batched PBS — the
+    mode large nets auto-route to) is bit-identical to the whole-model jit.
+
+    pbs_macro=7 forces the macro-batch loop (incl. the padded tail) on every
+    PBS boundary: sign, maxpool, and the final bias layer of the mini net.
+    """
+    sk, cloud, dkey = keys
+    rng = np.random.default_rng(3)
+    spec, blob = make_mini_sign_net(rng)
+    plan = prep_model(spec, blob)
+    x = rng.integers(-15, 16, size=(2, 8, 8, 1)).astype(np.int32)
+    ct = jnp.asarray(encrypt_images(sk, x, TEST_NOISELESS, rng))
+    want = np.asarray(build_encrypted_forward(plan, dkey, jit=True)(ct))
+    got = np.asarray(
+        build_encrypted_forward(plan, dkey, jit="staged", pbs_chunk=16,
+                                pbs_macro=7)(ct))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_staged_forward_relu_matches_full_jit(keys):
+    """Staged mode through the per-activation-test-vector (relu) PBS boundary,
+    where tv is [m, N] rather than a broadcast [N]."""
+    sk, cloud, dkey = keys
+    rng = np.random.default_rng(4)
+    spec = ModelSpec(
+        "test/relu_staged",
+        Dimensions(h=1, w=1, in_dep=16, in_bits=3, up_bound=4, scale=1.0),
+        [
+            LayerSpec(Domain.INT, ConvKind.FC, 8, PoolKind.NONE, Activation.RELU,
+                      BiasKind.BNORM, conv_params=ConvParams(tern_thresh=0.1),
+                      shift_bits=3),
+            LayerSpec(Domain.INT, ConvKind.FC, 3, PoolKind.NONE, Activation.NONE,
+                      BiasKind.NONE),
+        ],
+    )
+    wr = VarPrepWriter()
+    wr.write_tern(rng.choice([-1, 0, 1], size=16 * 8))
+    wr.write_i32(rng.integers(-64, 64, size=8))
+    wr.write_i32(np.full(8, 16), signed=False)
+    wr.write_tern(rng.choice([-1, 0, 1], size=8 * 3))
+    wr.write_i32(rng.integers(-4, 5, size=3))
+    plan = prep_model(spec, wr.getvalue())
+    x = rng.integers(-1, 2, size=(2, 1, 1, 16)).astype(np.int32)
+    ct = jnp.asarray(encrypt_images(sk, x, TEST_NOISELESS, rng))
+    want = np.asarray(build_encrypted_forward(plan, dkey, jit=True)(ct))
+    got = np.asarray(
+        build_encrypted_forward(plan, dkey, jit="staged", pbs_chunk=8,
+                                pbs_macro=5)(ct))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_jit_auto_routes_wide_shallow_net_to_staged(keys):
+    """A shallow net whose biggest layer exceeds pbs_macro must pick staged
+    (the per-program bootstrap ceiling dominates the depth heuristic)."""
+    sk, cloud, dkey = keys
+    rng = np.random.default_rng(5)
+    spec, blob = make_mini_sign_net(rng)
+    plan = prep_model(spec, blob)
+    fwd = build_encrypted_forward(plan, dkey, jit="auto", pbs_macro=4)
+    assert fwd.mode == "staged"
+    x = rng.integers(-15, 16, size=(1, 8, 8, 1)).astype(np.int32)
+    ct = jnp.asarray(encrypt_images(sk, x, TEST_NOISELESS, rng))
+    want = np.asarray(build_encrypted_forward(plan, dkey, jit=True)(ct))
+    np.testing.assert_array_equal(np.asarray(fwd(ct)), want)
+
+
 def test_leveled_only_exactness(keys):
     """conv + sumpool + add_bias with no bootstraps decrypts EXACTLY."""
     sk, cloud, dkey = keys
