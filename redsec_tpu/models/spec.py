@@ -165,6 +165,9 @@ class LayerPlan:
     sumpool: Optional[PoolPlan]
     quant: QuantPlan
     maxpool: Optional[PoolPlan]
+    # max |pre-PBS value| observed by runtime.ranges.calibrate_ranges, if run;
+    # drives the per-layer relu implementation choice and the range guard
+    measured_pre_bound: Optional[int] = None
 
 
 @dataclasses.dataclass

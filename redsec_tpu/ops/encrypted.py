@@ -151,6 +151,104 @@ def relu_test_vectors(plan: QuantPlan, params: TfheParams) -> np.ndarray:
     return mod_switch_to_torus32(out, msize).astype(np.int32)  # [C, N]
 
 
+def _staircase_i64(plan: QuantPlan, v: np.ndarray) -> np.ndarray:
+    """The DoReFa staircase clamp((slope*v + bias) >> slope_bits, 0, top) on
+    int64 message-space values v [M] -> [C, M] (IntFunc.cpp:953-969)."""
+    slope = plan.slope.astype(np.int64)[:, None]
+    bias = plan.bias.astype(np.int64)[:, None]
+    y = (slope * v[None, :].astype(np.int64) + bias) >> plan.slope_bits
+    return np.clip(y, 0, (1 << plan.shift_bits) - 1)
+
+
+def relu_fdfb_test_vectors(plan: QuantPlan, params: TfheParams):
+    """Odd/even test vectors for the FULL-range (|v| < msize/2) relu, plus a
+    per-channel torus constant.
+
+    Any f over the msize message space splits as f = O + E with
+    O(v + msize/2) = -O(v) (anti-periodic: directly PBS-evaluable) and
+    E(v + msize/2) = E(v) (periodic: evaluable on u = (v mod msize/2), which
+    one sign bootstrap recovers).  Rotation j represents u_j = round(j *
+    msize / 2N) in [0, msize/2); O/E there are (F(u) -/+ F(u - msize/2))/2.
+
+    Seam correction: when v is within the mod-switch noise band of 0, the
+    even PBS input u sits at ITS modular seam, where a wrap flips the read to
+    -E.  Shifting the even part by the constant c = (F(0) + F(-1) + F(top) +
+    F(bottom))/4 and adding c back as a plaintext trivial makes all four
+    read-branch combinations agree near v~0 (the odd and sign bootstraps
+    share one input ciphertext, hence one deterministic mod-switch, so they
+    can never disagree with each other).  Residual near-seam error is then
+    bounded by the staircase's local variation over the noise band — the
+    same contract as the plain sign bootstrap's.
+
+    Returns (tv_odd [C,N], tv_even_shifted [C,N], c_torus [C] int32).
+    """
+    N, msize = params.N, params.msg_space
+    u = np.round(np.arange(N) * msize / (2 * N)).astype(np.int64)
+    ms = lambda y: mod_switch_to_torus32(y, msize).astype(np.int64)  # noqa: E731
+    a = ms(_staircase_i64(plan, u))
+    b = ms(_staircase_i64(plan, u - msize // 2))
+    tv_odd = ((a - b) >> 1).astype(np.int32)  # [C, N]
+    tv_even = (a + b) >> 1
+    edge = np.array([0, -1, msize // 2 - 1, -msize // 2], np.int64)
+    c = (ms(_staircase_i64(plan, edge)).sum(axis=1) // 4).astype(np.int64)  # [C]
+    tv_even = (tv_even - c[:, None]).astype(np.int32)
+    return tv_odd, tv_even, c.astype(np.int32)
+
+
+def quant_relu_fdfb_enc(
+    plan: QuantPlan, x: jax.Array, pbs, params: TfheParams
+) -> jax.Array:
+    """Full-range DoReFa relu: 3 bootstraps per activation, valid while
+    |conv output| < msize/2 — the same leveled budget as the reference's
+    sign-then-select relu chain (lib/IntFunc.cpp:860-973, bootsMUX at
+    :957-962), at 3 PBS vs its 1 + bits MUX bootstraps.
+
+    out = PBS_odd(v) + PBS_even(v - sign(v)*msize/4 + msize/4)."""
+    B, H, W, C, R = x.shape
+    msize = params.msg_space
+    quarter = np.int32(int(mod_switch_to_torus32(msize // 4, msize)))
+    tv_sign = jnp.asarray(const_test_vector(params, msize // 4, msize))
+    tv_odd, tv_even, c = relu_fdfb_test_vectors(plan, params)
+    flat = x.reshape(-1, R)
+    m = flat.shape[0]
+    s = pbs(flat, tv_sign)  # LWE of +-msize/4
+    ct2 = (flat - s).at[:, -1].add(quarter)  # phase = (v mod msize/2)
+    tvs_o = jnp.broadcast_to(
+        jnp.asarray(tv_odd)[None], (m // C, C, params.N)).reshape(m, params.N)
+    tvs_e = jnp.broadcast_to(
+        jnp.asarray(tv_even)[None], (m // C, C, params.N)).reshape(m, params.N)
+    out = pbs(flat, tvs_o) + pbs(ct2, tvs_e)
+    c_flat = jnp.broadcast_to(jnp.asarray(c)[None], (m // C, C)).reshape(m)
+    out = out.at[:, -1].add(c_flat)  # plaintext trivial of the seam constant
+    return out.reshape(B, H, W, C, R)
+
+
+def quant_relu_fdfb_stage1(plan: QuantPlan, x: jax.Array, params: TfheParams):
+    """Staged-mode FDFB part 1: flat ciphertexts + the sign test vector."""
+    flat = x.reshape(-1, x.shape[-1])
+    tv_sign = jnp.asarray(const_test_vector(params, params.msg_space // 4,
+                                            params.msg_space))
+    return flat, tv_sign
+
+
+def quant_relu_fdfb_stage2(
+    plan: QuantPlan, flat: jax.Array, s: jax.Array, params: TfheParams
+):
+    """Staged-mode FDFB part 2: leveled glue + the two programmable test
+    vectors, each [m, N] (per-channel), plus the seam constant row [m]."""
+    msize = params.msg_space
+    quarter = np.int32(int(mod_switch_to_torus32(msize // 4, msize)))
+    ct2 = (flat - s).at[:, -1].add(quarter)
+    tv_odd, tv_even, c = relu_fdfb_test_vectors(plan, params)
+    m, C = flat.shape[0], plan.depth
+    tvs_o = jnp.broadcast_to(
+        jnp.asarray(tv_odd)[None], (m // C, C, params.N)).reshape(m, params.N)
+    tvs_e = jnp.broadcast_to(
+        jnp.asarray(tv_even)[None], (m // C, C, params.N)).reshape(m, params.N)
+    c_flat = jnp.broadcast_to(jnp.asarray(c)[None], (m // C, C)).reshape(m)
+    return ct2, tvs_o, tvs_e, c_flat
+
+
 def quant_relu_pre(plan: QuantPlan, x: jax.Array, params: TfheParams):
     """PBS boundary for the DoReFa relu: (pre-biased x, per-activation tv
     [m, N]); the caller flattens to [m, R], bootstraps, reshapes back."""

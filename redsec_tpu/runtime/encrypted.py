@@ -17,17 +17,39 @@ import numpy as np
 from ..crypto.bootstrap import DeviceCloudKey, make_chunked_impl
 from ..models.spec import Activation, ModelPlan
 from ..ops import encrypted as eops
+from .ranges import resolve_pbs_ranges
 
 
-def build_layer_impls(model: ModelPlan, params, plan, pbs_chunk: int = 512):
+def _relu_modes(model: ModelPlan, params, range_check: bool = True):
+    """Per-layer relu implementation ("quarter" 1-PBS | "full" 3-PBS FDFB)
+    plus the loud range guard (runtime/ranges.py)."""
+    info = resolve_pbs_ranges(model, params.msg_space, strict=range_check)
+    return {i: r.relu_mode for i, r in info.items() if r.relu_mode is not None}
+
+
+def _run_quant(layer, x, pbs_fn, params, relu_mode):
+    q = layer.quant
+    if q.mode == Activation.SIGN:
+        return eops.quant_sign_enc(q, x, pbs_fn, params)
+    if q.mode == Activation.NONE:
+        return eops.quant_add_bias_enc(q, x, params)
+    if relu_mode == "quarter":
+        return eops.quant_relu_enc(q, x, pbs_fn, params)
+    return eops.quant_relu_fdfb_enc(q, x, pbs_fn, params)
+
+
+def build_layer_impls(model: ModelPlan, params, plan, pbs_chunk: int = 512,
+                      relu_modes=None):
     """Per-layer un-jitted forwards ``impl(bk_ntt, ksk_limbs, x) -> x'``.
     The caller is responsible for the final reshape to [B, classes, n+1].
     Lets callers jit layer-by-layer: large nets (CIFAR) as a single
     whole-model HLO can exceed what a remote compile service accepts.
     """
     pbs_impl = make_chunked_impl(params, plan, chunk=pbs_chunk)
+    if relu_modes is None:
+        relu_modes = _relu_modes(model, params)
 
-    def mk(layer):
+    def mk(i, layer):
         def run(bk_ntt, ksk_limbs, x):
             def pbs_fn(ct, tv):
                 return pbs_impl(bk_ntt, ksk_limbs, ct, tv)
@@ -36,24 +58,18 @@ def build_layer_impls(model: ModelPlan, params, plan, pbs_chunk: int = 512):
                 x = eops.conv_enc(layer.conv, x, params.msg_space)
             if layer.sumpool is not None:
                 x = eops.sumpool_enc(layer.sumpool, x)
-            q = layer.quant
-            if q.mode == Activation.SIGN:
-                x = eops.quant_sign_enc(q, x, pbs_fn, params)
-            elif q.mode == Activation.NONE:
-                x = eops.quant_add_bias_enc(q, x, params)
-            else:
-                x = eops.quant_relu_enc(q, x, pbs_fn, params)
+            x = _run_quant(layer, x, pbs_fn, params, relu_modes.get(i))
             if layer.maxpool is not None:
                 x = eops.maxpool_enc(layer.maxpool, x, pbs_fn, params)
             return x
 
         return run
 
-    return [mk(layer) for layer in model.layers]
+    return [mk(i, layer) for i, layer in enumerate(model.layers)]
 
 
 def build_forward_impl(
-    model: ModelPlan, params, plan, pbs_chunk: int = 512
+    model: ModelPlan, params, plan, pbs_chunk: int = 512, relu_modes=None
 ) -> Callable:
     """Un-jitted encrypted forward taking the evaluation key as arguments:
     ``impl(bk_ntt, ksk_limbs, x [B,H,W,C,n+1]) -> [B, classes, n+1]``.
@@ -62,23 +78,19 @@ def build_forward_impl(
     the ~330 MB key into the serialized HLO (see crypto/bootstrap.py).
     """
     pbs_impl = make_chunked_impl(params, plan, chunk=pbs_chunk)
+    if relu_modes is None:
+        relu_modes = _relu_modes(model, params)
 
     def forward(bk_ntt, ksk_limbs, x: jax.Array) -> jax.Array:
         def pbs_fn(ct, tv):
             return pbs_impl(bk_ntt, ksk_limbs, ct, tv)
 
-        for layer in model.layers:
+        for i, layer in enumerate(model.layers):
             if layer.conv is not None:
                 x = eops.conv_enc(layer.conv, x, params.msg_space)
             if layer.sumpool is not None:
                 x = eops.sumpool_enc(layer.sumpool, x)
-            q = layer.quant
-            if q.mode == Activation.SIGN:
-                x = eops.quant_sign_enc(q, x, pbs_fn, params)
-            elif q.mode == Activation.NONE:
-                x = eops.quant_add_bias_enc(q, x, params)
-            else:
-                x = eops.quant_relu_enc(q, x, pbs_fn, params)
+            x = _run_quant(layer, x, pbs_fn, params, relu_modes.get(i))
             if layer.maxpool is not None:
                 x = eops.maxpool_enc(layer.maxpool, x, pbs_fn, params)
         return x.reshape(x.shape[0], -1, x.shape[-1])
@@ -88,7 +100,7 @@ def build_forward_impl(
 
 def build_staged_forward(
     model: ModelPlan, dkey: DeviceCloudKey, pbs_chunk: int = 512,
-    pbs_macro: int = 16384,
+    pbs_macro: int = 16384, relu_modes=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Encrypted forward with HOST-level PBS macro-batching.
 
@@ -102,6 +114,8 @@ def build_staged_forward(
     from ..crypto.bootstrap import _key_material, make_chunked_impl
 
     params, plan = dkey.params, dkey.plan
+    if relu_modes is None:
+        relu_modes = _relu_modes(model, params)
     key_arg = _key_material(dkey)
     pbs_impl = jax.jit(make_chunked_impl(params, plan, chunk=pbs_chunk))
 
@@ -122,7 +136,7 @@ def build_staged_forward(
             outs.append(pbs_impl(key_arg, dkey.ksk_limbs, sl, tl)[: m - i0])
         return jnp.concatenate(outs, axis=0)
 
-    def _pre_conv(layer):
+    def _pre_conv(i, layer):
         def run(x):
             if layer.conv is not None:
                 x = eops.conv_enc(layer.conv, x, params.msg_space)
@@ -135,12 +149,23 @@ def build_staged_forward(
             if q.mode == Activation.NONE:
                 x = eops.quant_add_bias_enc(q, x, params)
                 return x, None, x.shape
-            ct, tv = eops.quant_relu_pre(q, x, params)
+            if relu_modes.get(i) == "quarter":
+                ct, tv = eops.quant_relu_pre(q, x, params)
+                return ct, tv, x.shape
+            # FDFB stage 1: flat cts + sign tv; forward runs stages 2/3
+            ct, tv = eops.quant_relu_fdfb_stage1(q, x, params)
             return ct, tv, x.shape
 
         return run
 
-    pre_fns = [jax.jit(_pre_conv(layer)) for layer in model.layers]
+    pre_fns = [jax.jit(_pre_conv(i, layer))
+               for i, layer in enumerate(model.layers)]
+    fdfb_fns = {
+        i: jax.jit(lambda flat, s, q=layer.quant:
+                   eops.quant_relu_fdfb_stage2(q, flat, s, params))
+        for i, layer in enumerate(model.layers)
+        if layer.quant.mode == Activation.RELU and relu_modes.get(i) == "full"
+    }
     mpre_fns = {
         i: jax.jit(lambda x, l=layer: eops.maxpool_pre(l.maxpool, x, params))
         for i, layer in enumerate(model.layers) if layer.maxpool is not None
@@ -151,6 +176,12 @@ def build_staged_forward(
             ct, tv, shape = pre_fns[i](x)
             if tv is None:
                 x = ct
+            elif i in fdfb_fns:
+                flat = ct  # already [m, n+1] from stage 1
+                s = pbs_host(flat, tv)  # sign bootstrap (+-msize/4)
+                ct2, tvs_o, tvs_e, c_flat = fdfb_fns[i](flat, s)
+                out = pbs_host(flat, tvs_o) + pbs_host(ct2, tvs_e)
+                x = out.at[:, -1].add(c_flat).reshape(shape)
             else:
                 # pbs expects flat [m, n+1]; reshape back to the layer shape
                 x = pbs_host(ct.reshape(-1, ct.shape[-1]), tv).reshape(shape)
@@ -165,7 +196,7 @@ def build_staged_forward(
 
 def build_encrypted_forward(
     model: ModelPlan, dkey: DeviceCloudKey, jit="auto", pbs_chunk: int = 512,
-    pbs_macro: int = 16384,
+    pbs_macro: int = 16384, range_check: bool = True,
 ) -> Callable[[jax.Array], jax.Array]:
     """Encrypted forward bound to a device key:
     int32 [B, H, W, C, n+1] -> [B, classes, n+1].
@@ -174,10 +205,19 @@ def build_encrypted_forward(
     "staged" = per-layer leveled programs + host-macro-batched PBS (for nets
     with huge per-layer bootstrap counts); "auto" picks by model size;
     False = eager.
+
+    ``range_check``: every PBS boundary's input bound (measured via
+    runtime.ranges.calibrate_ranges when available, else certified interval
+    arithmetic) must fit the message-space budget; violations raise at build
+    time instead of silently wrapping like the reference (runtime/ranges.py).
+    Relu layers pick the 1-PBS quarter-range or 3-PBS full-range (FDFB)
+    implementation from the same bounds.
     """
     from ..crypto.bootstrap import _key_material
 
-    impl = build_forward_impl(model, dkey.params, dkey.plan, pbs_chunk)
+    relu_modes = _relu_modes(model, dkey.params, range_check)
+    impl = build_forward_impl(model, dkey.params, dkey.plan, pbs_chunk,
+                              relu_modes)
 
     if jit == "auto":
         from ..utils.metrics import summarize
@@ -194,7 +234,8 @@ def build_encrypted_forward(
             jit = True if len(model.layers) < 8 else "layer"
 
     if jit == "staged":
-        forward = build_staged_forward(model, dkey, pbs_chunk, pbs_macro)
+        forward = build_staged_forward(model, dkey, pbs_chunk, pbs_macro,
+                                       relu_modes)
         forward.impl = impl
         forward.mode = "staged"
         return forward
@@ -202,7 +243,8 @@ def build_encrypted_forward(
     key_arg = _key_material(dkey)
     if jit == "layer":
         layer_fns = [jax.jit(f) for f in
-                     build_layer_impls(model, dkey.params, dkey.plan, pbs_chunk)]
+                     build_layer_impls(model, dkey.params, dkey.plan, pbs_chunk,
+                                       relu_modes)]
 
         def forward(x: jax.Array) -> jax.Array:
             for f in layer_fns:

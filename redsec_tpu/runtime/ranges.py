@@ -1,0 +1,177 @@
+"""Certified activation-range analysis for PBS validity guards.
+
+Every programmable bootstrap has a domain of validity on its input phase:
+
+- sign / maxpool-OR:        |v| < msg_space/2   (anti-periodic test vector)
+- relu, quarter-range:      |v| < msg_space/4   (half-torus trick, 1 PBS)
+- relu, full-range (FDFB):  |v| < msg_space/2   (odd/even split, 3 PBS)
+
+The reference never checks this: its leveled accumulation silently wraps
+beyond the 4096 message space (lib/BinFunc.cpp:166) and relies on BNN
+statistics to stay inside.  Its tracked ``up_bound`` (lib/Layer.h:113-127)
+is bit-width bookkeeping, not a sound value bound (it is off by 2x in both
+directions on the shipped nets).  We instead compute a CERTIFIED per-channel
+interval from the actual ternary weights (exact interval arithmetic), and
+optionally a measured bound from a calibration run of the plaintext oracle
+(``calibrate_ranges``); ``resolve_pbs_ranges`` picks the relu implementation
+per layer and fails loudly when no implementation is valid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..models.spec import Activation, LayerPlan, ModelPlan
+
+
+@dataclasses.dataclass
+class PbsRange:
+    """Range facts for one layer's PBS boundary (None when the layer has no
+    bootstrap, i.e. a pure add-bias layer)."""
+
+    certified: Optional[int]  # sound bound on |pre-PBS value| incl. bias
+    measured: Optional[int]  # from calibrate_ranges, if run
+    relu_mode: Optional[str] = None  # "quarter" | "full" for RELU layers
+
+    def effective(self) -> Optional[int]:
+        return self.measured if self.measured is not None else self.certified
+
+
+def _conv_interval(plan, lo: np.ndarray, hi: np.ndarray):
+    """Per-output-channel interval of a ternary conv/fc given per-input-channel
+    input intervals.  Padding taps contribute exact zeros, so the input
+    interval is first widened to include 0 when the conv pads."""
+    w = plan.weights.astype(np.int64)  # [wh, ww, cin, cout]
+    if plan.offset != (0, 0):
+        lo, hi = np.minimum(lo, 0), np.maximum(hi, 0)
+    wp = np.maximum(w, 0).sum(axis=(0, 1))  # [cin, cout]
+    wn = np.maximum(-w, 0).sum(axis=(0, 1))
+    out_lo = lo @ wp - hi @ wn
+    out_hi = hi @ wp - lo @ wn
+    if plan.neg_correction is not None:
+        out_lo = out_lo - plan.neg_correction
+        out_hi = out_hi - plan.neg_correction
+    return out_lo, out_hi
+
+
+def _layer_intervals(layer: LayerPlan, lo: np.ndarray, hi: np.ndarray):
+    """Propagate per-channel intervals through one layer; returns
+    (pre_pbs_bound or None, out_lo, out_hi)."""
+    if layer.conv is not None:
+        if layer.conv.flatten:
+            reps = layer.conv.in_dep // lo.shape[0]
+            lo, hi = np.tile(lo, reps), np.tile(hi, reps)
+        lo, hi = _conv_interval(layer.conv, lo, hi)
+    if layer.sumpool is not None:
+        area = layer.sumpool.window[0] * layer.sumpool.window[1]
+        lo, hi = lo * area, hi * area
+
+    q = layer.quant
+    bound: Optional[int] = None
+    if q.mode == Activation.SIGN:
+        b = q.bias.astype(np.int64)
+        bound = int(np.maximum(np.abs(lo + b), np.abs(hi + b)).max())
+        lo = np.full(q.depth, -1, np.int64)
+        hi = np.ones(q.depth, np.int64)
+    elif q.mode == Activation.RELU:
+        # relu's bias folds into the test vector; the ciphertext input is the
+        # raw accumulated value (ops/encrypted.py relu_test_vectors)
+        bound = int(np.maximum(np.abs(lo), np.abs(hi)).max())
+        top = (1 << q.shift_bits) - 1
+        lo = np.zeros(q.depth, np.int64)
+        hi = np.full(q.depth, top, np.int64)
+    else:  # NONE: leveled bias add only, no bootstrap
+        b = q.bias.astype(np.int64)
+        lo, hi = lo + b, hi + b
+
+    if layer.maxpool is not None:
+        # window-OR inputs are +-1 sign outputs; the biased window sum is
+        # bounded by 2*window area (ops/encrypted.py maxpool_pre)
+        area = layer.maxpool.window[0] * layer.maxpool.window[1]
+        bound = max(bound or 0, 2 * area)
+    return bound, lo, hi
+
+
+def certified_pbs_bounds(model: ModelPlan) -> List[Optional[int]]:
+    """Sound per-layer bounds on |pre-PBS value| from exact interval
+    arithmetic over the loaded weights (None for bootstrap-free layers)."""
+    b0 = int(model.in_dim.up_bound)
+    lo = np.full(model.in_dim.in_dep, -b0, np.int64)
+    hi = np.full(model.in_dim.in_dep, b0, np.int64)
+    out = []
+    for layer in model.layers:
+        bound, lo, hi = _layer_intervals(layer, lo, hi)
+        out.append(bound)
+    return out
+
+
+def calibrate_ranges(model: ModelPlan, images: np.ndarray) -> List[Optional[int]]:
+    """Measure actual max |pre-PBS value| per layer by running the plaintext
+    oracle over a calibration set; stores the result on each LayerPlan
+    (``measured_pre_bound``) so later ``build_encrypted_forward`` calls pick
+    it up.  Mirrors the reference's implicit contract: its 4096 leveled
+    budget is validated only by observed BNN statistics (REDsec paper §IV)."""
+    import jax.numpy as jnp
+
+    from . import ptxt as rp
+
+    x = jnp.asarray(np.asarray(images, np.int32))
+    bounds: List[Optional[int]] = []
+    for layer in model.layers:
+        pre = x
+        if layer.conv is not None:
+            pre = rp.conv_ptxt(layer.conv, pre)
+        if layer.sumpool is not None:
+            pre = rp.sumpool_ptxt(layer.sumpool, pre)
+        q = layer.quant
+        bound = None
+        if q.mode == Activation.SIGN:
+            b = np.asarray(pre) + q.bias.reshape(1, 1, 1, -1)
+            bound = int(np.abs(b).max())
+        elif q.mode == Activation.RELU:
+            bound = int(np.abs(np.asarray(pre)).max())
+        if layer.maxpool is not None:
+            area = layer.maxpool.window[0] * layer.maxpool.window[1]
+            bound = max(bound or 0, 2 * area)
+        layer.measured_pre_bound = bound
+        bounds.append(bound)
+        x = rp.layer_forward_ptxt(layer, x)
+    return bounds
+
+
+def resolve_pbs_ranges(
+    model: ModelPlan, msg_space: int, strict: bool = True
+) -> Dict[int, PbsRange]:
+    """Pick the relu implementation per layer and guard every PBS boundary.
+
+    Returns {layer_index: PbsRange}.  Raises ValueError when a bound exceeds
+    the widest valid domain (msg_space/2) and ``strict``; with strict=False
+    the widest implementation is used anyway (the same silent-wrap behavior
+    the reference always has, lib/BinFunc.cpp:166)."""
+    certified = certified_pbs_bounds(model)
+    out: Dict[int, PbsRange] = {}
+    quarter, half = msg_space // 4, msg_space // 2
+    for i, layer in enumerate(model.layers):
+        r = PbsRange(certified=certified[i], measured=layer.measured_pre_bound)
+        q = layer.quant
+        eff = r.effective()
+        if q.mode == Activation.RELU:
+            r.relu_mode = "quarter" if (eff is not None and eff < quarter) else "full"
+        if eff is not None and eff >= half and (
+            q.mode == Activation.RELU or q.mode == Activation.SIGN
+        ):
+            msg = (
+                f"layer {i} ({model.spec.name}): pre-bootstrap bound {eff} "
+                f"exceeds the message-space budget +-{half} "
+                f"({'measured' if r.measured is not None else 'certified worst-case'}); "
+                f"run runtime.ranges.calibrate_ranges for a data-driven bound, "
+                f"use a larger msg_space parameter set, or pass "
+                f"range_check=False to accept reference-style silent wrapping"
+            )
+            if strict:
+                raise ValueError(msg)
+        out[i] = r
+    return out

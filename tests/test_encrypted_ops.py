@@ -152,6 +152,97 @@ def test_full_jit_encrypted_forward_runs(keys):
     assert np.abs(scores).max() <= 12  # |fan-in 6 + bias 3| bound
 
 
+def _staircase(slope, bias, slope_bits, top, v):
+    return np.clip(
+        (slope.astype(np.int64)[None, :] * v[:, None].astype(np.int64)
+         + bias[None, :]) >> slope_bits, 0, top)
+
+
+def test_relu_fdfb_full_range(keys):
+    """Full-range FDFB relu (3 PBS) computes the DoReFa staircase for |v| up
+    to msize/2 — double the quarter-range implementation's domain and equal
+    to the reference's sign-then-MUX relu budget (IntFunc.cpp:860-973).
+
+    Contract (margin-band, like every bootstrapped stage): values whose
+    distance from a staircase step boundary — at BOTH torus representatives
+    v and v-msize/2, since odd/even parts each read F there — exceeds the
+    mod-switch noise band are exact; all values are within one step."""
+    from redsec_tpu.crypto.bootstrap import make_batched_bootstrap
+    from redsec_tpu.models.spec import QuantPlan
+    from redsec_tpu.ops import encrypted as eops
+
+    sk, cloud, dkey = keys
+    params = TEST_NOISELESS
+    msize = params.msg_space
+    pbs = make_batched_bootstrap(dkey)
+    C = 4
+    # slope <= 4 keeps every staircase step >= 2^7/4 = 32 units wide (2x the
+    # noise band), so mid-step points exist everywhere
+    slope = np.array([4, 2, 3, 4], np.uint32)
+    bias = np.array([-96, 64, 0, 288], np.int32)
+    plan = QuantPlan(
+        mode=Activation.RELU, bias=bias, slope=slope,
+        shift_bits=3, slope_bits=7, in_bits=9, h=1, w=1, depth=C,
+    )
+    top = 7
+    v = np.arange(-500, 502, 2, dtype=np.int32)
+    vals = np.broadcast_to(v[:, None], (v.size, C)).reshape(v.size, 1, 1, C)
+    rng = np.random.default_rng(6)
+    ct = jnp.asarray(lwe.encrypt_integers(sk.lwe_key, vals, params, rng))
+    out = eops.quant_relu_fdfb_enc(plan, ct, pbs, params)
+    got = lwe.decrypt_integers(sk.lwe_key, np.asarray(out), params)
+    got = got.reshape(v.size, C)
+
+    want = _staircase(slope, bias, 7, top, v)
+    # mod-switch noise band: n=64 mask coefficients rounded to 2N slots, each
+    # slot = 2 message units -> ~2 slots sigma; 16 units is > 3 sigma
+    BAND = 16
+    stable = np.ones((v.size, C), bool)
+    for d in (-BAND, BAND):
+        for rep in (0, -msize // 2):  # both torus representatives
+            w = ((v + rep + d + msize // 2) % msize) - msize // 2
+            stable &= _staircase(slope, bias, 7, top, w) == _staircase(
+                slope, bias, 7, top,
+                ((v + rep + msize // 2) % msize) - msize // 2)
+    assert stable.mean() > 0.5  # the contract must bite
+    np.testing.assert_array_equal(got[stable], want[stable])
+    # unstable points land on one of the two adjacent steps
+    assert np.abs(got - want).max() <= 2
+
+
+def test_relu_fdfb_beyond_quarter_range(keys):
+    """Mid-step values in (msize/4, msize/2) — where the quarter-range relu
+    wraps — are exactly right under FDFB."""
+    from redsec_tpu.crypto.bootstrap import make_batched_bootstrap
+    from redsec_tpu.models.spec import QuantPlan
+    from redsec_tpu.ops import encrypted as eops
+
+    sk, cloud, dkey = keys
+    params = TEST_NOISELESS
+    pbs = make_batched_bootstrap(dkey)
+    plan = QuantPlan(
+        mode=Activation.RELU, bias=np.array([0], np.int32),
+        slope=np.array([8], np.uint32),
+        shift_bits=4, slope_bits=8, in_bits=9, h=1, w=1, depth=1,
+    )
+    # F = clamp(v >> 5): steps at multiples of 32; v = 16 (mod 32) sits
+    # mid-step at both representatives (512 = 0 mod 32)
+    v = np.array([-400, -304, 272, 368, 464], np.int32)
+    vals = v.reshape(-1, 1, 1, 1)
+    rng = np.random.default_rng(7)
+    ct = jnp.asarray(lwe.encrypt_integers(sk.lwe_key, vals, params, rng))
+    got = lwe.decrypt_integers(
+        sk.lwe_key,
+        np.asarray(eops.quant_relu_fdfb_enc(plan, ct, pbs, params)), params)
+    want = np.clip(v.astype(np.int64) >> 5, 0, 15).reshape(vals.shape)
+    np.testing.assert_array_equal(got, want)
+    # and the quarter-range implementation demonstrably wraps out there
+    bad = lwe.decrypt_integers(
+        sk.lwe_key,
+        np.asarray(eops.quant_relu_enc(plan, ct, pbs, params)), params)
+    assert not np.array_equal(bad, want)
+
+
 def test_staged_forward_matches_full_jit(keys):
     """jit="staged" (per-layer leveled programs + host macro-batched PBS — the
     mode large nets auto-route to) is bit-identical to the whole-model jit.

@@ -1,0 +1,103 @@
+"""Certified/calibrated PBS range analysis (runtime/ranges.py).
+
+The reference silently wraps past its 4096 message space
+(lib/BinFunc.cpp:166); we certify bounds from the loaded weights, measure
+them with the plaintext oracle, and fail loudly (VERDICT r1 item 4).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from redsec_tpu.models.dims import Dimensions
+from redsec_tpu.models.spec import (
+    Activation, BiasKind, ConvKind, ConvParams, Domain, LayerSpec, ModelSpec,
+    PoolKind, PoolParams, prep_model,
+)
+from redsec_tpu.formats.varprep import VarPrepWriter
+from redsec_tpu.runtime import ranges as rr
+from redsec_tpu.runtime import ptxt as rp
+
+
+def _fc_relu_model(n_in=16, n_out=8, slope=16, in_bound=4):
+    spec = ModelSpec(
+        "test/ranges",
+        Dimensions(h=1, w=1, in_dep=n_in, in_bits=3, up_bound=in_bound, scale=1.0),
+        [
+            LayerSpec(Domain.INT, ConvKind.FC, n_out, PoolKind.NONE,
+                      Activation.RELU, BiasKind.BNORM,
+                      conv_params=ConvParams(tern_thresh=0.1), shift_bits=3),
+            LayerSpec(Domain.INT, ConvKind.FC, 3, PoolKind.NONE,
+                      Activation.NONE, BiasKind.NONE),
+        ],
+    )
+    rng = np.random.default_rng(0)
+    wr = VarPrepWriter()
+    wr.write_tern(rng.choice([-1, 0, 1], size=n_in * n_out))
+    wr.write_i32(rng.integers(-8, 8, size=n_out))
+    wr.write_i32(np.full(n_out, slope), signed=False)
+    wr.write_tern(rng.choice([-1, 0, 1], size=n_out * 3))
+    wr.write_i32(rng.integers(-4, 5, size=3))
+    return prep_model(spec, wr.getvalue())
+
+
+def test_certified_bounds_are_sound():
+    """Certified interval bounds dominate the measured max over random data."""
+    plan = _fc_relu_model()
+    cert = rr.certified_pbs_bounds(plan)
+    rng = np.random.default_rng(1)
+    x = rng.integers(-4, 5, size=(64, 1, 1, 16)).astype(np.int32)
+    measured = rr.calibrate_ranges(plan, x)
+    for c, m in zip(cert, measured):
+        if m is not None:
+            assert c is not None and c >= m, (c, m)
+
+
+def test_calibrate_stores_bounds_on_plan():
+    plan = _fc_relu_model()
+    rng = np.random.default_rng(2)
+    x = rng.integers(-4, 5, size=(8, 1, 1, 16)).astype(np.int32)
+    rr.calibrate_ranges(plan, x)
+    assert plan.layers[0].measured_pre_bound is not None
+    assert plan.layers[1].measured_pre_bound is None  # bias-only layer
+
+
+def test_resolve_picks_quarter_vs_full():
+    """Small certified bound -> 1-PBS quarter relu; larger -> FDFB."""
+    plan = _fc_relu_model(n_in=16, in_bound=4)  # cert bound <= 16*4 = 64
+    info = rr.resolve_pbs_ranges(plan, msg_space=1024)
+    assert info[0].relu_mode == "quarter"
+    plan = _fc_relu_model(n_in=128, in_bound=4)  # cert bound up to 512 > 256
+    rng = np.random.default_rng(0)
+    info = rr.resolve_pbs_ranges(plan, msg_space=1024)
+    assert info[0].relu_mode == "full"
+
+
+def test_resolve_raises_beyond_half_space():
+    plan = _fc_relu_model(n_in=256, in_bound=4)  # cert bound up to 1024
+    with pytest.raises(ValueError, match="message-space budget"):
+        rr.resolve_pbs_ranges(plan, msg_space=1024)
+    # non-strict accepts with reference-style wrap semantics
+    info = rr.resolve_pbs_ranges(plan, msg_space=1024, strict=False)
+    assert info[0].relu_mode == "full"
+    # a calibration run with small actual data clears the guard
+    rng = np.random.default_rng(3)
+    x = rng.integers(-1, 2, size=(8, 1, 1, 256)).astype(np.int32)
+    rr.calibrate_ranges(plan, x)
+    info = rr.resolve_pbs_ranges(plan, msg_space=1024)
+    assert info[0].effective() == plan.layers[0].measured_pre_bound
+
+
+def test_shipped_net_bounds_fit_sign_budget():
+    """sign1024x1's certified bounds fit the 4096 message space outright —
+    the property the REDsec paper asserts statistically, certified exactly."""
+    import os
+    ref = "/root/reference/nets/mnist/sign1024x1/var_prep.dat"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not mounted")
+    from redsec_tpu.models.zoo import get_model
+
+    plan = prep_model(get_model("mnist/sign1024x1"), ref)
+    info = rr.resolve_pbs_ranges(plan, msg_space=4096)  # must not raise
+    assert all(r.certified is None or r.certified < 2048 for r in info.values())
