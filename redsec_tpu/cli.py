@@ -87,7 +87,8 @@ def cmd_encrypt_image(args):
         px = px[None]
         labels = [label]
     else:
-        h, w, c = (28, 28, 1) if "mnist" in args.model else (32, 32, 3)
+        h, w, c = (image_io.image_shape_for(args.format) if args.format
+                   else image_io.shape_for_model(args.model))
         rows = _parse_rows(args.rows if args.rows else str(args.row))
         labels_all, imgs = image_io.load_csv_dataset(args.csv, h, w, c,
                                                      limit=max(rows) + 1)
@@ -195,6 +196,8 @@ def main(argv=None):
     p = sub.add_parser("encrypt-image", help="encrypt one image")
     p.add_argument("--secret", required=True)
     p.add_argument("--model", default="mnist/sign1024x1")
+    p.add_argument("--format", choices=["mnist", "cifar-10", "imagenet"],
+                   help="dataset geometry override (client/image_converter.py:10-21)")
     p.add_argument("--image-ptxt")
     p.add_argument("--csv")
     p.add_argument("--row", type=int, default=0)

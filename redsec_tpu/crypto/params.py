@@ -48,6 +48,26 @@ class TfheParams:
     def log2_2N(self) -> int:
         return self.N.bit_length()  # log2(2N) since N is a power of two
 
+    def mod_switch_sigma_units(self) -> float:
+        """Std-dev (in message-space units) of the dominant bootstrap error:
+        mod-switching the n mask coefficients to the 2N rotation grid rounds
+        each by U(-0.5, 0.5) slots; ~n/2 secret bits are 1, so the phase
+        error is sigma = sqrt(n/2 / 12) slots x (msg_space / 2N) units.
+        This is identical in the reference (its TFHE accumulates the same
+        rounding, lib/BinOps_enc.cpp:182-186 -> tfhe_bootstrap_FFT)."""
+        import math
+
+        slots = math.sqrt(self.n / 2.0 / 12.0)
+        return slots * self.msg_space / (2.0 * self.N)
+
+    def noise_band_units(self, sigmas: float = 5.0) -> int:
+        """Margin band for bootstrapped-stage test contracts: pre-activations
+        farther than this from a decision boundary must evaluate exactly;
+        closer ones may flip (tests/test_encrypted_ops.py)."""
+        import math
+
+        return int(math.ceil(sigmas * self.mod_switch_sigma_units()))
+
 
 def _p(name, n, N, bg_bit, l, ks_basebit, ks_t, alpha_ks, alpha_bk, alpha_enc=2.0**-15):
     return TfheParams(

@@ -36,6 +36,34 @@ def load_csv_dataset(path: str, h: int, w: int, c: int, limit: int | None = None
     return np.array(labels, dtype=np.int32), np.stack(images)
 
 
+# Dataset geometries of the reference client (client/image_converter.py:10-21)
+DATASET_SHAPES = {
+    "mnist": (28, 28, 1),
+    "cifar-10": (32, 32, 3),
+    "imagenet": (224, 224, 3),
+}
+
+
+def image_shape_for(fmt: str) -> Tuple[int, int, int]:
+    """(h, w, c) for a named dataset format (mnist | cifar-10 | imagenet)."""
+    try:
+        return DATASET_SHAPES[fmt]
+    except KeyError:
+        raise KeyError(
+            f"unknown image format {fmt!r}; available: {sorted(DATASET_SHAPES)}"
+        ) from None
+
+
+def shape_for_model(model_name: str) -> Tuple[int, int, int]:
+    """Infer the dataset geometry from a model name (mnist/* -> 28x28x1,
+    cifar/* -> 32x32x3, imagenet/* -> 224x224x3)."""
+    if "imagenet" in model_name:
+        return DATASET_SHAPES["imagenet"]
+    if "mnist" in model_name:
+        return DATASET_SHAPES["mnist"]
+    return DATASET_SHAPES["cifar-10"]
+
+
 def pixels_to_signed(pixels: np.ndarray) -> np.ndarray:
     """2p - 255 mapping used by sign/cifar nets and the client encryptor
     (client/encrypt_image.cpp:76)."""

@@ -112,19 +112,40 @@ def _add_bias_body(x: jax.Array, bias_mu: np.ndarray) -> jax.Array:
     return x.at[..., -1].add(mu)
 
 
-def quant_sign_pre(plan: QuantPlan, x: jax.Array, params: TfheParams):
+def quant_sign_pre(plan: QuantPlan, x: jax.Array, params: TfheParams,
+                   out_value: int = 1):
     """PBS boundary for the sign activation: (biased x, tv [N]); the caller
-    flattens to [m, R], bootstraps, reshapes back."""
+    flattens to [m, R], bootstraps, reshapes back.
+
+    ``out_value``: message value of the +-output.  1 for ordinary sign; a
+    maxpool-feeding sign outputs +-maxpool_sign_value so the window-OR's
+    decision margins dwarf the mod-switch noise — the same reason the
+    reference ORs in gate space at +-1/8 torus (lib/GPU/gates.cu:124-130,
+    BinOps_enc.cpp:164-167) instead of the +-1/4096 integer encoding."""
     mu = mod_switch_to_torus32(plan.bias, params.msg_space)
     x = _add_bias_body(x, mu)
-    tv = jnp.asarray(const_test_vector(params, 1, params.msg_space))
+    tv = jnp.asarray(const_test_vector(params, out_value, params.msg_space))
     return x, tv
 
 
-def quant_sign_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Array:
+def quant_sign_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams,
+                   out_value: int = 1) -> jax.Array:
     """Sign activation: bias add + one sign bootstrap per activation."""
-    xb, tv = quant_sign_pre(plan, x, params)
+    xb, tv = quant_sign_pre(plan, x, params, out_value)
     return pbs(xb.reshape(-1, xb.shape[-1]), tv).reshape(xb.shape)
+
+
+def maxpool_sign_value(plan: PoolPlan, params: TfheParams) -> int:
+    """Message value V of the +-signs feeding a window-OR maxpool.
+
+    OR(x_1..x_w) = sign(sum x_i + (w-1)V): the margin around the decision
+    boundary is V, and the largest magnitude reached is (2w-2)V (all-true
+    window with the (w-2)V bias), so V = msize/(4w) keeps every value
+    strictly inside the +-msize/2 budget while making the margin ~2 orders
+    above the mod-switch noise (a +-1 encoding would put the margin at half
+    a rotation slot — noise-dominated)."""
+    w = plan.window[0] * plan.window[1]
+    return max(1, params.msg_space // (4 * w))
 
 
 def quant_add_bias_enc(plan: QuantPlan, x: jax.Array, params: TfheParams) -> jax.Array:
@@ -273,9 +294,11 @@ def quant_relu_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams) -> ja
 def maxpool_enc(plan: PoolPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Array:
     """Window OR via one biased sign bootstrap per output element.
 
-    Inputs are +-1 sign bits; OR = sign(sum + count - 2).  (count-1 would put
-    the all-false case at value -1, which the bootstrap's round-half-up
-    mod-switch maps to +1; count-2 centers the decision between -2 and 0.)
+    Inputs are +-V sign bits (V = maxpool_sign_value, produced by the
+    preceding sign stage); OR = sign(sum + (count-1)V), margin +-V.  The
+    reference instead ORs pairwise with one bootstrap per ELEMENT in gate
+    space (lib/BinOps_enc.cpp:164-167); one biased bootstrap per OUTPUT with
+    a gate-scale margin is strictly cheaper at equal robustness.
     Out-of-bounds window slots contribute zero ciphertexts and are excluded
     from the count.
     """
@@ -286,6 +309,7 @@ def maxpool_enc(plan: PoolPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Ar
 def maxpool_pre(plan: PoolPlan, x: jax.Array, params: TfheParams):
     """PBS boundary for the window-OR maxpool: (biased window sums
     [B, OH, OW, C, R], tv [N]); caller flattens, bootstraps, reshapes."""
+    V = maxpool_sign_value(plan, params)
     patches = gather_patches(
         x, plan.window, plan.stride, plan.offset, (plan.out_h, plan.out_w)
     )  # [B, OH, OW, wh, ww, C, R]
@@ -296,7 +320,7 @@ def maxpool_pre(plan: PoolPlan, x: jax.Array, params: TfheParams):
     ok_h = ((ih >= 0) & (ih < plan.in_h)).sum(axis=1)  # [OH]
     ok_w = ((iw >= 0) & (iw < plan.in_w)).sum(axis=1)  # [OW]
     counts = ok_h[:, None] * ok_w[None, :]  # [OH, OW]
-    bias_mu = mod_switch_to_torus32(counts - 2, params.msg_space)  # [OH, OW]
+    bias_mu = mod_switch_to_torus32((counts - 1) * V, params.msg_space)  # [OH, OW]
     s = s.at[..., -1].add(jnp.asarray(bias_mu, jnp.int32)[None, :, :, None])
     tv = jnp.asarray(const_test_vector(params, 1, params.msg_space))
     return s, tv

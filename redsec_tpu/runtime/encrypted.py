@@ -30,7 +30,11 @@ def _relu_modes(model: ModelPlan, params, range_check: bool = True):
 def _run_quant(layer, x, pbs_fn, params, relu_mode):
     q = layer.quant
     if q.mode == Activation.SIGN:
-        return eops.quant_sign_enc(q, x, pbs_fn, params)
+        # a maxpool-feeding sign outputs +-V so the window-OR margin dwarfs
+        # the mod-switch noise (ops/encrypted.py:maxpool_sign_value)
+        ov = (eops.maxpool_sign_value(layer.maxpool, params)
+              if layer.maxpool is not None else 1)
+        return eops.quant_sign_enc(q, x, pbs_fn, params, ov)
     if q.mode == Activation.NONE:
         return eops.quant_add_bias_enc(q, x, params)
     if relu_mode == "quarter":
@@ -144,7 +148,9 @@ def build_staged_forward(
                 x = eops.sumpool_enc(layer.sumpool, x)
             q = layer.quant
             if q.mode == Activation.SIGN:
-                ct, tv = eops.quant_sign_pre(q, x, params)
+                ov = (eops.maxpool_sign_value(layer.maxpool, params)
+                      if layer.maxpool is not None else 1)
+                ct, tv = eops.quant_sign_pre(q, x, params, ov)
                 return ct, tv, x.shape
             if q.mode == Activation.NONE:
                 x = eops.quant_add_bias_enc(q, x, params)

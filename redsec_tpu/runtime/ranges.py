@@ -57,6 +57,15 @@ def _conv_interval(plan, lo: np.ndarray, hi: np.ndarray):
     return out_lo, out_hi
 
 
+def _maxpool_bound(layer: LayerPlan, msg_space: int) -> int:
+    """Worst |pre| of the window-OR bootstrap: all-true window of +-V signs
+    plus the (count-1)V bias = (2w-1)V < msg_space/2 by construction of
+    V = msg_space/(4w) (ops/encrypted.py:maxpool_sign_value)."""
+    w = layer.maxpool.window[0] * layer.maxpool.window[1]
+    v = max(1, msg_space // (4 * w))
+    return (2 * w - 1) * v
+
+
 def _layer_intervals(layer: LayerPlan, lo: np.ndarray, hi: np.ndarray):
     """Propagate per-channel intervals through one layer; returns
     (pre_pbs_bound or None, out_lo, out_hi)."""
@@ -87,17 +96,16 @@ def _layer_intervals(layer: LayerPlan, lo: np.ndarray, hi: np.ndarray):
         b = q.bias.astype(np.int64)
         lo, hi = lo + b, hi + b
 
-    if layer.maxpool is not None:
-        # window-OR inputs are +-1 sign outputs; the biased window sum is
-        # bounded by 2*window area (ops/encrypted.py maxpool_pre)
-        area = layer.maxpool.window[0] * layer.maxpool.window[1]
-        bound = max(bound or 0, 2 * area)
+    # maxpool's OR bootstrap bound is safe by construction and accounted in
+    # resolve_pbs_ranges via _maxpool_bound (it needs msg_space)
     return bound, lo, hi
 
 
 def certified_pbs_bounds(model: ModelPlan) -> List[Optional[int]]:
-    """Sound per-layer bounds on |pre-PBS value| from exact interval
-    arithmetic over the loaded weights (None for bootstrap-free layers)."""
+    """Sound per-layer bounds on |pre-PBS value| entering the QUANT
+    bootstrap, from exact interval arithmetic over the loaded weights
+    (None for bootstrap-free layers).  Maxpool OR bounds are handled
+    separately (safe by construction, _maxpool_bound)."""
     b0 = int(model.in_dim.up_bound)
     lo = np.full(model.in_dim.in_dep, -b0, np.int64)
     hi = np.full(model.in_dim.in_dep, b0, np.int64)
@@ -133,9 +141,6 @@ def calibrate_ranges(model: ModelPlan, images: np.ndarray) -> List[Optional[int]
             bound = int(np.abs(b).max())
         elif q.mode == Activation.RELU:
             bound = int(np.abs(np.asarray(pre)).max())
-        if layer.maxpool is not None:
-            area = layer.maxpool.window[0] * layer.maxpool.window[1]
-            bound = max(bound or 0, 2 * area)
         layer.measured_pre_bound = bound
         bounds.append(bound)
         x = rp.layer_forward_ptxt(layer, x)

@@ -14,8 +14,7 @@ run() {
   echo "" >> "$log"
 }
 
-run "bench small_v2 b512 (headline)" env REDSEC_BENCH_BATCH=512 REDSEC_BENCH_ITERS=3 python bench.py
-run "bench small_v2_tpu b512" env REDSEC_BENCH_PARAMS=small_v2_tpu REDSEC_BENCH_BATCH=512 REDSEC_BENCH_ITERS=3 python bench.py
+run "bench both points b512 (headline small_v2_tpu)" env REDSEC_BENCH_BATCH=512 REDSEC_BENCH_ITERS=3 python bench.py
 run "mnist sign1024x1 small_v2_tpu 32img" python scripts/run_encrypted_mnist.py --images 32 --params small_v2_tpu
 run "mnist sign1024x1 small_v2 16img" python scripts/run_encrypted_mnist.py --images 16
 run "mnist relu1024x2 small_v2_tpu 8img" python scripts/run_encrypted_mnist.py --images 8 --model mnist/relu1024x2 --params small_v2_tpu

@@ -105,6 +105,7 @@ def test_prepared_key_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_multichip_dryrun():
     """The driver's dryrun path: dp x tp mesh on 8 virtual CPU devices."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -97,6 +97,7 @@ def test_bootstrap_device_sign(tiny_keys, tiny_dkey):
     np.testing.assert_array_equal(dec, np.where(tvals >= 0, 1, -1))
 
 
+@pytest.mark.slow
 def test_bootstrap_device_matches_host(tiny_keys, tiny_dkey):
     """Bit-exact ciphertext parity between the jitted device pipeline and the
     numpy reference implementation."""

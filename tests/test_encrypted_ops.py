@@ -99,15 +99,22 @@ def test_mini_sign_net_layerwise_self_consistency(keys):
     def dec(ct):
         return lwe.decrypt_integers(sk.lwe_key, np.asarray(ct), params)
 
-    # noise band: mod-switch rounding of n=64 mask coefficients to 2N slots
-    NOISE_BAND = 16
+    # noise band derived from params: 5 sigma of the mod-switch rounding of
+    # the n mask coefficients to the 2N rotation grid
+    NOISE_BAND = params.noise_band_units()
+
+    n_outside = [0]  # across all layers, the exactness contract must bite
 
     def check_sign(pre_ptxt, got, ctx):
+        """Margin-band contract: every disagreement sits within the noise
+        band of the sign boundary, and every out-of-band point is EXACT."""
         want = np.where(pre_ptxt >= 0, 1, -1)
         bad = got != want
         assert np.abs(pre_ptxt[bad]).max(initial=0) <= NOISE_BAND, (
             ctx, pre_ptxt[bad])
-        assert (~bad).mean() > 0.55, ctx
+        outside = np.abs(pre_ptxt) > NOISE_BAND
+        n_outside[0] += int(outside.sum())
+        np.testing.assert_array_equal(got[outside], want[outside], err_msg=ctx)
 
     for li, layer in enumerate(plan.layers):
         x_in = dec(xc)  # decrypted current activations (oracle input)
@@ -123,21 +130,42 @@ def test_mini_sign_net_layerwise_self_consistency(keys):
         q = layer.quant
         x_in = dec(xc)
         if q.mode == Activation.SIGN:
-            xc = eops.quant_sign_enc(q, xc, pbs, params)
-            check_sign(x_in + q.bias, dec(xc), f"sign L{li}")
+            V = (eops.maxpool_sign_value(layer.maxpool, params)
+                 if layer.maxpool is not None else 1)
+            xc = eops.quant_sign_enc(q, xc, pbs, params, V)
+            check_sign(x_in + q.bias, np.sign(dec(xc)), f"sign L{li}")
         elif q.mode == Activation.NONE:
             xc = eops.quant_add_bias_enc(q, xc, params)
             np.testing.assert_array_equal(dec(xc), x_in + q.bias, f"bias L{li}")
         if layer.maxpool is not None:
-            x_in = dec(xc)
+            x_in = dec(xc)  # +-V encodings from the feeding sign stage
             xc = eops.maxpool_enc(layer.maxpool, xc, pbs, params)
-            want = np.asarray(rp.maxpool_ptxt(layer.maxpool, jnp.asarray(x_in)))
+            mp = layer.maxpool
+            V = eops.maxpool_sign_value(mp, params)
+            want = np.sign(np.asarray(rp.maxpool_ptxt(mp, jnp.asarray(x_in))))
             got = dec(xc)
-            # OR is exact except when sum+count-2 lands in the noise band
-            agree = (got == want).mean()
-            assert agree >= 0.55, f"maxpool L{li}: {agree}"
+            # margin-band contract on the OR pre-activation sum + (count-1)V:
+            # disagreements only within the band, out-of-band exact.  The V
+            # scaling makes the margin V >> band, so this is a REAL contract
+            # (mini-net maxpool is valid-pooled: count = window area).
+            assert V > NOISE_BAND
+            patches = np.asarray(rp.gather_patches(
+                jnp.asarray(x_in), mp.window, mp.stride, mp.offset,
+                (mp.out_h, mp.out_w)))
+            area = mp.window[0] * mp.window[1]
+            pre = patches.sum(axis=(3, 4)) + (area - 1) * V
+            bad = got != want
+            assert np.abs(pre[bad]).max(initial=0) <= NOISE_BAND, (
+                f"maxpool L{li}", pre[bad])
+            outside = np.abs(pre) > NOISE_BAND
+            n_outside[0] += int(outside.sum())
+            np.testing.assert_array_equal(
+                got[outside], want[outside], err_msg=f"maxpool L{li}")
+
+    assert n_outside[0] > 50  # the exactness contract must bite overall
 
 
+@pytest.mark.slow
 def test_full_jit_encrypted_forward_runs(keys):
     """The single-jit end-to-end program compiles and yields sane +-range scores."""
     sk, cloud, dkey = keys
@@ -158,6 +186,7 @@ def _staircase(slope, bias, slope_bits, top, v):
          + bias[None, :]) >> slope_bits, 0, top)
 
 
+@pytest.mark.slow
 def test_relu_fdfb_full_range(keys):
     """Full-range FDFB relu (3 PBS) computes the DoReFa staircase for |v| up
     to msize/2 — double the quarter-range implementation's domain and equal
@@ -295,6 +324,7 @@ def test_staged_forward_relu_matches_full_jit(keys):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_jit_auto_routes_wide_shallow_net_to_staged(keys):
     """A shallow net whose biggest layer exceeds pbs_macro must pick staged
     (the per-program bootstrap ceiling dominates the depth heuristic)."""

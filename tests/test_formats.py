@@ -71,3 +71,33 @@ def test_reference_relu_slope_sections():
     rd.read_i32(10)
     assert rd.at_eof()
     assert (slope > 0).all()
+
+
+def test_imagenet_client_geometry(tmp_path):
+    """ImageNet 224x224x3 client surface (client/image_converter.py:10-21,
+    1000-class decrypt at decrypt_image.cpp:50-59): CSV load, image.ptxt
+    roundtrip, and pixel conversion at the full geometry."""
+    import numpy as np
+
+    from redsec_tpu.formats import image_io
+
+    assert image_io.image_shape_for("imagenet") == (224, 224, 3)
+    assert image_io.shape_for_model("imagenet/resnet_bnn") == (224, 224, 3)
+    assert image_io.shape_for_model("mnist/sign1024x1") == (28, 28, 1)
+    assert image_io.shape_for_model("cifar/binarynet") == (32, 32, 3)
+
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, size=(224, 224, 3), dtype=np.int32)
+    csv = tmp_path / "imagenet_row.csv"
+    csv.write_text("7," + ",".join(str(int(v)) for v in px.reshape(-1)) + "\n")
+    labels, imgs = image_io.load_csv_dataset(str(csv), 224, 224, 3)
+    assert labels.tolist() == [7] and imgs.shape == (1, 224, 224, 3)
+    np.testing.assert_array_equal(imgs[0], px)
+
+    p = tmp_path / "image.ptxt"
+    image_io.write_image_ptxt(str(p), 7, px)
+    label, back = image_io.read_image_ptxt(str(p))
+    assert label == 7
+    np.testing.assert_array_equal(back, px)
+    signed = image_io.pixels_to_signed(imgs)
+    assert signed.min() >= -255 and signed.max() <= 255

@@ -2,6 +2,7 @@
 (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -11,6 +12,7 @@ from redsec_tpu.crypto import lwe
 from redsec_tpu.crypto.params import TEST_NOISELESS
 
 
+@pytest.mark.slow
 def test_blind_kernel_bootstrap_matches_xla(monkeypatch):
     # the mega-kernel's tables use the four-step (matmul) NTT ordering; the
     # device key must be prepared in the same domain

@@ -12,6 +12,7 @@ from redsec_tpu.crypto.params import SMALL_V2_NOISELESS, TEST_NOISELESS
 from redsec_tpu.crypto.pallas_round import make_full_round_kernel, make_round_kernel
 
 
+@pytest.mark.slow
 def test_full_round_kernel_matches_xla_round():
     P = SMALL_V2_NOISELESS  # N=1024 -> lane-native 8x128 split
     plan = bs._bootstrap_plan(P)
@@ -52,6 +53,7 @@ def test_full_round_kernel_matches_xla_round():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_kernel_bootstrap_matches_host_oracle(monkeypatch):
     monkeypatch.setenv("REDSEC_ROUND_KERNEL", "1")
     monkeypatch.setenv("REDSEC_NTT", "matmul")  # kernel tables' ordering

@@ -25,6 +25,7 @@ def env():
     return sk, dkey
 
 
+@pytest.mark.slow
 def test_dp_forward_matches_single_device(env):
     from test_encrypted_ops import make_mini_sign_net
     from redsec_tpu.models.spec import prep_model
@@ -45,6 +46,7 @@ def test_dp_forward_matches_single_device(env):
     np.testing.assert_array_equal(got, single)
 
 
+@pytest.mark.slow
 def test_tp_fc_sign_matches_single_device(env):
     sk, dkey = env
     params = TEST_NOISELESS
@@ -75,6 +77,7 @@ def test_tp_fc_sign_matches_single_device(env):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_dcn_axis_simulated_two_hosts(env):
     """Simulated 2-host layout (dcn=2, dp=2, tp=2 on the 8-device CPU mesh):
     batch rides (dcn, dp); fan-in psum stays on tp (ICI-only by construction).

@@ -8,6 +8,7 @@ is asserted empirically here.
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -18,6 +19,7 @@ from redsec_tpu.crypto.params import SMALL_V2_TPU
 from redsec_tpu.crypto.torus import mod_switch_to_torus32
 
 
+@pytest.mark.slow
 def test_small_v2_tpu_bootstrap_noise_and_signs():
     P = SMALL_V2_TPU
     assert P.decomp_rows == 12 and P.l * P.bg_bit == 30  # same gadget precision

@@ -65,14 +65,31 @@ def test_sign1024x1_logits_bit_exact():
 
 
 @needs_reference
-@pytest.mark.parametrize("name", ["mnist/relu1024x1", "mnist/relu1024x2"])
-def test_relu_logits_bit_exact(name):
+@pytest.mark.parametrize(
+    "name",
+    ["mnist/relu1024x1", "mnist/relu1024x2", "mnist/relu1024x3",
+     "mnist/sign1024x2", "mnist/sign1024x3"],
+)
+def test_mnist_logits_bit_exact(name):
     gpath = os.path.join(GOLDEN_DIR, f"{name.replace('/', '_')}_ptxt_golden.txt")
     if not os.path.exists(gpath):
         pytest.skip("golden not captured")
     golden = parse_golden_logits(gpath)
     labels, logits = run_model_logits(
         name, reference_path("nets/mnist/mnist_data.csv"), 28, 28, 1, limit=golden.shape[0]
+    )
+    np.testing.assert_array_equal(logits, golden)
+
+
+@needs_reference
+def test_sample_net_logits_bit_exact():
+    """The compiler's sample.csv net (nets/sample/sample/net.cpp:112-144),
+    run over the 100-row MNIST set with its shipped (untrained) weights."""
+    gpath = os.path.join(GOLDEN_DIR, "sample_sample_ptxt_golden.txt")
+    golden = parse_golden_logits(gpath)
+    labels, logits = run_model_logits(
+        "sample/sample", reference_path("nets/mnist/mnist_data.csv"), 28, 28, 1,
+        limit=golden.shape[0]
     )
     np.testing.assert_array_equal(logits, golden)
 
