@@ -135,3 +135,243 @@ def fc_sign_tp(x_ct: jax.Array, weights: np.ndarray, bias: np.ndarray,
         out_specs=P(("dcn", "dp"), "tp", None),
     )
     return shard(x_ct, w_dev, bias_mu, dkey.bk_ntt, dkey.ksk_limbs)
+
+
+# --------------------------------------------------------------------------- #
+# Whole-model tensor-parallel forward                                         #
+# --------------------------------------------------------------------------- #
+
+
+def _plan_tp_layers(model, params, tp: int):
+    """Host-side prep for the tp forward: per-layer device arrays + specs.
+
+    Activations stay channel-sharded [B/dp, H, W, C/tp, R] between layers;
+    a layer whose channel count does not divide tp falls back to replicated
+    compute (every device redundantly evaluates it — deterministic integer
+    math keeps replicas bit-identical).  Conv weights ship arranged
+    [wh, ww, H?, W?, C, O] so the CHANNEL axis is the sharded one even after
+    an FC flatten (the flatten order is (h, w, c), so a contiguous K shard
+    would straddle channels)."""
+    from ..crypto.bootstrap import const_test_vector
+    from ..crypto.torus import mod_switch_to_torus32
+    from ..models.spec import Activation
+    from ..ops.encrypted import maxpool_sign_value, relu_fdfb_test_vectors
+    from ..runtime.encrypted import _relu_modes
+
+    relu_modes = _relu_modes(model, params)
+    msize = params.msg_space
+    layers = []
+    in_sharded = False  # input images are replicated over tp
+    h, w, c = model.in_dim.h, model.in_dim.w, model.in_dim.in_dep
+    for i, layer in enumerate(model.layers):
+        args, specs = [], []
+        L = {"layer": layer, "i": i}
+        if layer.conv is not None:
+            cv = layer.conv
+            wts = cv.weights  # [wh, ww, K, O]
+            if cv.flatten:
+                # arrange K = (h, w, c) so the c axis is shardable
+                wts = wts.reshape(wts.shape[0], wts.shape[1], h, w, c,
+                                  cv.out_dep)
+                wspec = P(None, None, None, None, "tp" if in_sharded else None,
+                          None)
+            else:
+                wspec = P(None, None, "tp" if in_sharded else None, None)
+            args.append(jnp.asarray(wts, jnp.int8))
+            specs.append(wspec)
+            h, w, c = cv.out_h, cv.out_w, cv.out_dep
+        # the replicated->sharded transition happens at the conv's own-chunk
+        # slice, so conv-less layers keep their input layout; bootstrap-free
+        # layers stay replicated (nothing to re-shard over)
+        out_sharded = (
+            (layer.conv is not None and c % tp == 0
+             and (layer.quant.mode != Activation.NONE
+                  or layer.maxpool is not None))
+            or (layer.conv is None and in_sharded)
+        )
+        L["in_sharded"], L["out_sharded"] = in_sharded, out_sharded
+        ospec = P("tp") if out_sharded else P()
+        if layer.conv is not None and layer.conv.neg_correction is not None:
+            mu = mod_switch_to_torus32(layer.conv.neg_correction, msize)
+            args.append(jnp.asarray(mu, jnp.int32))
+            specs.append(ospec)
+        q = layer.quant
+        if q.mode in (Activation.SIGN, Activation.NONE):
+            args.append(jnp.asarray(
+                mod_switch_to_torus32(q.bias, msize), jnp.int32))
+            specs.append(ospec)
+            if q.mode == Activation.SIGN:
+                ov = (maxpool_sign_value(layer.maxpool, params)
+                      if layer.maxpool is not None else 1)
+                L["tv_sign"] = jnp.asarray(const_test_vector(params, ov, msize))
+        elif relu_modes.get(i) == "quarter":
+            from ..ops.encrypted import relu_test_vectors
+
+            args.append(jnp.asarray(relu_test_vectors(q, params)))  # [C, N]
+            specs.append(P("tp") if out_sharded else P())
+            L["relu"] = "quarter"
+        else:
+            tv_o, tv_e, c_seam = relu_fdfb_test_vectors(q, params)
+            args.append(jnp.asarray(tv_o))
+            specs.append(P("tp") if out_sharded else P())
+            args.append(jnp.asarray(tv_e))
+            specs.append(P("tp") if out_sharded else P())
+            args.append(jnp.asarray(c_seam))
+            specs.append(P("tp") if out_sharded else P())
+            L["relu"] = "full"
+            L["tv_sign_fdfb"] = jnp.asarray(
+                const_test_vector(params, msize // 4, msize))
+        if layer.sumpool is not None:
+            h, w = layer.sumpool.out_h, layer.sumpool.out_w
+        if layer.maxpool is not None:
+            h, w = layer.maxpool.out_h, layer.maxpool.out_w
+        L["args"], L["specs"] = args, specs
+        layers.append(L)
+        in_sharded = out_sharded
+    return layers, relu_modes
+
+
+def build_tp_encrypted_forward(model, dkey, mesh: Mesh, pbs_chunk: int = 512):
+    """Whole-model encrypted forward with fan-in tensor parallelism:
+    [B, H, W, C, n+1] (replicated over tp, B sharded over dcn x dp) ->
+    [B, classes, n+1].
+
+    Every conv/FC contracts a CHANNEL shard of its fan-in per device, psums
+    the partial LWE sums over ICI, and re-shards the bootstraps over output
+    channels (each device bootstraps C/tp of them) — the whole-model
+    generalization of ``fc_sign_tp``.  Bit-exact vs the single-device
+    forward: int32 mod-2^32 sums are order-independent, so resharding
+    cannot change results (SURVEY.md §7.3 item 6).
+    """
+    from ..crypto.bootstrap import make_chunked_impl
+    from ..crypto.torus import mod_switch_to_torus32
+    from ..models.spec import Activation
+    from ..ops.encrypted import maxpool_sign_value, ternary_matmul_ct
+    from ..runtime.ptxt import gather_patches
+
+    params = dkey.params
+    tp = mesh.shape["tp"]
+    msize = params.msg_space
+    pbs_impl = make_chunked_impl(params, dkey.plan, chunk=pbs_chunk)
+    layers, _ = _plan_tp_layers(model, params, tp)
+    n_args = [len(L["args"]) for L in layers]
+
+    def conv_local(cv, x, wts):
+        B, R = x.shape[0], x.shape[-1]
+        if cv.flatten:
+            # wts [wh, ww, h, w, c_local, O] -> [1, 1, h*w*c_local, O]
+            wts = wts.reshape(1, 1, -1, wts.shape[-1])
+            x = x.reshape(B, 1, 1, -1, R)
+        out = None
+        for fh in range(wts.shape[0]):
+            for fw in range(wts.shape[1]):
+                tap = gather_patches(
+                    x, (1, 1), cv.stride,
+                    (cv.offset[0] - fh, cv.offset[1] - fw),
+                    (cv.out_h, cv.out_w),
+                )
+                tap = tap.reshape(B, cv.out_h * cv.out_w, -1, R)
+                part = ternary_matmul_ct(tap, wts[fh, fw])
+                out = part if out is None else out + part
+        return out.reshape(B, cv.out_h, cv.out_w, wts.shape[-1], R)
+
+    def body(x, bk_ntt, ksk_limbs, *flat_args):
+        def pbs(ct, tv):
+            return pbs_impl(bk_ntt, ksk_limbs, ct, tv)
+
+        pos = 0
+        for L in layers:
+            layer, args = L["layer"], flat_args[pos : pos + len(L["specs"])]
+            pos += len(L["specs"])
+            ai = 0
+            if layer.conv is not None:
+                part = conv_local(layer.conv, x, args[ai])
+                ai += 1
+                x = jax.lax.psum(part, "tp") if L["in_sharded"] else part
+                if L["out_sharded"]:
+                    # keep only this device's output-channel slice
+                    ti = jax.lax.axis_index("tp")
+                    chunk = x.shape[3] // tp
+                    x = jax.lax.dynamic_slice_in_dim(x, ti * chunk, chunk, 3)
+                if layer.conv.neg_correction is not None:
+                    x = x.at[..., -1].add(-args[ai])
+                    ai += 1
+            if layer.sumpool is not None:
+                sp = layer.sumpool
+                x = gather_patches(x, sp.window, sp.stride, sp.offset,
+                                   (sp.out_h, sp.out_w)).sum(
+                    axis=(3, 4), dtype=jnp.int32)
+            q = layer.quant
+            shp = x.shape
+            if q.mode == Activation.SIGN:
+                x = x.at[..., -1].add(args[ai])
+                ai += 1
+                x = pbs(x.reshape(-1, shp[-1]), L["tv_sign"]).reshape(shp)
+            elif q.mode == Activation.NONE:
+                x = x.at[..., -1].add(args[ai])
+                ai += 1
+            elif L["relu"] == "quarter":
+                tvs = args[ai]
+                ai += 1
+                half = jnp.int32(int(mod_switch_to_torus32(msize // 4, msize)))
+                x = x.at[..., -1].add(half)
+                C = shp[3]
+                m = shp[0] * shp[1] * shp[2] * C
+                tv_all = jnp.broadcast_to(
+                    tvs[None], (m // C, C, params.N)).reshape(m, params.N)
+                x = pbs(x.reshape(-1, shp[-1]), tv_all).reshape(shp)
+            else:  # full-range FDFB relu
+                tv_o, tv_e, c_seam = args[ai], args[ai + 1], args[ai + 2]
+                ai += 3
+                quarter = jnp.int32(int(mod_switch_to_torus32(msize // 4, msize)))
+                flat = x.reshape(-1, shp[-1])
+                C = shp[3]
+                m = flat.shape[0]
+                s = pbs(flat, L["tv_sign_fdfb"])
+                ct2 = (flat - s).at[:, -1].add(quarter)
+                tvs_o = jnp.broadcast_to(
+                    tv_o[None], (m // C, C, params.N)).reshape(m, params.N)
+                tvs_e = jnp.broadcast_to(
+                    tv_e[None], (m // C, C, params.N)).reshape(m, params.N)
+                out = pbs(flat, tvs_o) + pbs(ct2, tvs_e)
+                cf = jnp.broadcast_to(c_seam[None], (m // C, C)).reshape(m)
+                x = out.at[:, -1].add(cf).reshape(shp)
+            if layer.maxpool is not None:
+                mp = layer.maxpool
+                V = maxpool_sign_value(mp, params)
+                patches = gather_patches(x, mp.window, mp.stride, mp.offset,
+                                         (mp.out_h, mp.out_w))
+                ssum = patches.sum(axis=(3, 4), dtype=jnp.int32)
+                ih = (np.arange(mp.out_h)[:, None] * mp.stride[0]
+                      + np.arange(mp.window[0])[None, :] - mp.offset[0])
+                iw = (np.arange(mp.out_w)[:, None] * mp.stride[1]
+                      + np.arange(mp.window[1])[None, :] - mp.offset[1])
+                cnt = (((ih >= 0) & (ih < mp.in_h)).sum(1)[:, None]
+                       * ((iw >= 0) & (iw < mp.in_w)).sum(1)[None, :])
+                bias_mu = mod_switch_to_torus32((cnt - 1) * V, msize)
+                ssum = ssum.at[..., -1].add(
+                    jnp.asarray(bias_mu, jnp.int32)[None, :, :, None])
+                tv1 = jnp.asarray(
+                    np.full(params.N,
+                            int(mod_switch_to_torus32(np.int64(1), msize)),
+                            np.int32))
+                x = pbs(ssum.reshape(-1, ssum.shape[-1]), tv1).reshape(ssum.shape)
+        return x.reshape(x.shape[0], -1, x.shape[-1])
+
+    in_specs = (
+        P(("dcn", "dp"), None, None, None, None),  # x replicated over tp
+        tuple(P() for _ in dkey.bk_ntt),
+        P(),
+        *[s for L in layers for s in L["specs"]],
+    )
+    out_spec = P(("dcn", "dp"), None, None)  # final layer is replicated
+    shard = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
+    ))
+    flat_args = [a for L in layers for a in L["args"]]
+
+    def forward(x):
+        return shard(x, dkey.bk_ntt, dkey.ksk_limbs, *flat_args)
+
+    forward.tp_layout = [(L["in_sharded"], L["out_sharded"]) for L in layers]
+    return forward

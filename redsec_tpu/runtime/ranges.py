@@ -35,9 +35,21 @@ class PbsRange:
     certified: Optional[int]  # sound bound on |pre-PBS value| incl. bias
     measured: Optional[int]  # from calibrate_ranges, if run
     relu_mode: Optional[str] = None  # "quarter" | "full" for RELU layers
+    # Per-edge encoding gains (encrypted domain only; powers of two).  The
+    # layer's inputs arrive scaled by in_gain and its activations leave
+    # scaled by out_gain, so the NEXT bootstrap's decision margins grow
+    # out_gain x while the mod-switch noise (fixed in absolute units,
+    # PERFORMANCE.md) does not.  The reference cannot do this: its message
+    # encoding is hardwired to +-1 (lib/BinOps_enc.cpp:182-186).
+    in_gain: int = 1
+    out_gain: int = 1
 
     def effective(self) -> Optional[int]:
         return self.measured if self.measured is not None else self.certified
+
+    def scaled(self) -> Optional[int]:
+        b = self.effective()
+        return None if b is None else b * self.in_gain
 
 
 def _conv_interval(plan, lo: np.ndarray, hi: np.ndarray):

@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--model", default="mnist/sign1024x1")
     ap.add_argument("--params", default="small_v2")
     ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="images per encrypted batch (0 = all at once)")
+    ap.add_argument("--jit", default="auto")
+    ap.add_argument("--no-range-check", action="store_true",
+                    help="accept reference-style silent wrapping (toy params)")
     args = ap.parse_args()
 
     import jax
@@ -66,31 +71,54 @@ def main():
     want = np.asarray(build_forward(plan)(jnp.asarray(x)))
     ptxt_preds = want.argmax(1)
 
+    # data-driven PBS range bounds: picks the relu implementation per layer
+    # and validates every bootstrap boundary (runtime/ranges.py)
+    from redsec_tpu.runtime.ranges import calibrate_ranges, resolve_pbs_ranges
+
+    calibrate_ranges(plan, x)
+    info = resolve_pbs_ranges(plan, dkey.params.msg_space,
+                              strict=not args.no_range_check)
+    modes = {i: r.relu_mode for i, r in info.items() if r.relu_mode}
+    if modes:
+        print(f"[{time.time()-t0:6.1f}s] relu modes: {modes}")
+
     rng = np.random.default_rng(0)
-    ct = jnp.asarray(encrypt_images(sk, x, dkey.params, rng))
-    fwd = build_encrypted_forward(plan, dkey)
-    t1 = time.time()
-    scores_ct = fwd(ct)
-    scores_ct.block_until_ready()
-    t_compile = time.time() - t1
+    fwd = build_encrypted_forward(plan, dkey, jit=args.jit,
+                                  range_check=not args.no_range_check)
+    nb = args.batch or args.images
+
+    def run_batch(xb):
+        """Encrypt -> cloud forward -> decrypt; the host fetch inside
+        decrypt forces completion (block_until_ready is unreliable on
+        remote-execution backends). Returns (preds, seconds)."""
+        ct = jnp.asarray(encrypt_images(sk, xb, dkey.params, rng))
+        t1 = time.time()
+        scores = decrypt_scores(sk, np.asarray(fwd(ct)), dkey.params)
+        return scores.argmax(1), time.time() - t1
+
+    # first batch pays compilation; rerun it warm so timing is clean
+    _, t_compile = run_batch(x[:nb])
     print(f"[{time.time()-t0:6.1f}s] first (compile+run) batch: {t_compile:.1f}s")
-    t1 = time.time()
-    scores_ct = fwd(ct)
-    scores_ct.block_until_ready()
-    dt = time.time() - t1
+    all_preds, dt = [], 0.0
+    for i0 in range(0, args.images, nb):
+        p, step = run_batch(x[i0 : i0 + nb])
+        all_preds.append(p)
+        dt += step
+    preds = np.concatenate(all_preds)[: args.images]
     per_img = dt / args.images
-    scores = decrypt_scores(sk, scores_ct, dkey.params)
-    preds = scores.argmax(1)
+    n_timed = args.images
 
     agree = (preds == ptxt_preds).mean()
     acc = (preds == labels).mean()
-    boots_rate = stats["total_bootstraps"] * args.images / dt
-    print(f"Inference Time: {dt:.2f} seconds for {args.images} images "
+    boots_rate = stats["total_bootstraps"] / per_img
+    print(f"Inference Time: {dt:.2f} seconds for {n_timed} images "
           f"({per_img:.2f} s/image, {boots_rate:.0f} bootstraps/s)")
     print(f"encrypted preds: {preds.tolist()}")
     print(f"plaintext preds: {ptxt_preds.tolist()}")
     print(f"labels:          {labels.tolist()}")
-    print(f"agreement with oracle: {agree:.3f}; accuracy: {acc:.3f}")
+    print(f"RESULT model={args.model} params={args.params} images={args.images} "
+          f"s_per_image={per_img:.3f} bootstraps_per_s={boots_rate:.0f} "
+          f"oracle_agreement={agree:.3f} accuracy={acc:.3f}")
 
 
 if __name__ == "__main__":
