@@ -43,17 +43,21 @@ def load_cloud_key(path: str) -> CloudKey:
     return CloudKey(params, d["bk"], d["ksk"])
 
 
-def save_ciphertexts(path: str, ct: np.ndarray, params: TfheParams, label=None) -> None:
-    """Ciphertext container (role of image.ctxt / network_output.ctxt)."""
+def save_ciphertexts(path: str, ct: np.ndarray, params: TfheParams, label=None,
+                     out_gain: int = 1) -> None:
+    """Ciphertext container (role of image.ctxt / network_output.ctxt).
+    ``out_gain``: encoding gain carried by network outputs (runtime/ranges.py);
+    the decryptor divides it back out."""
     np.savez(
         path, version=FORMAT_VERSION, params=params.name, ct=ct.astype(np.int32),
-        label=-1 if label is None else int(label),
+        label=-1 if label is None else int(label), out_gain=int(out_gain),
     )
 
 
 def load_ciphertexts(path: str):
     d = np.load(path, allow_pickle=False)
-    return d["ct"], get_params(str(d["params"])), int(d["label"])
+    gain = int(d["out_gain"]) if "out_gain" in d else 1
+    return d["ct"], get_params(str(d["params"])), int(d["label"]), gain
 
 
 # --------------------------------------------------------------------------- #

@@ -67,7 +67,8 @@ def ternary_matmul_ct(patches: jax.Array, weights: np.ndarray) -> jax.Array:
     return jnp.swapaxes(out, -1, -2)  # [B, P, O, R]
 
 
-def conv_enc(plan: ConvPlan, x: jax.Array, msg_space: int = 4096) -> jax.Array:
+def conv_enc(plan: ConvPlan, x: jax.Array, msg_space: int = 4096,
+             g_in: int = 1) -> jax.Array:
     """Encrypted conv/fc: per-tap shifted slices + ternary matmuls over
     ciphertexts (never materializes the [.., wh, ww, C, n+1] im2col tensor,
     which reaches hundreds of MB per image on the cifar nets).
@@ -93,7 +94,8 @@ def conv_enc(plan: ConvPlan, x: jax.Array, msg_space: int = 4096) -> jax.Array:
     if plan.neg_correction is not None:
         # integer-domain 1's-complement correction as a noiseless trivial
         # subtraction on the body column (see ConvPlan.neg_correction)
-        mu = mod_switch_to_torus32(plan.neg_correction, msg_space)
+        mu = mod_switch_to_torus32(plan.neg_correction.astype(np.int64) * g_in,
+                                   msg_space)
         out = out.at[..., -1].add(-jnp.asarray(mu, jnp.int32))
     return out
 
@@ -113,7 +115,7 @@ def _add_bias_body(x: jax.Array, bias_mu: np.ndarray) -> jax.Array:
 
 
 def quant_sign_pre(plan: QuantPlan, x: jax.Array, params: TfheParams,
-                   out_value: int = 1):
+                   out_value: int = 1, g_in: int = 1):
     """PBS boundary for the sign activation: (biased x, tv [N]); the caller
     flattens to [m, R], bootstraps, reshapes back.
 
@@ -122,16 +124,17 @@ def quant_sign_pre(plan: QuantPlan, x: jax.Array, params: TfheParams,
     decision margins dwarf the mod-switch noise — the same reason the
     reference ORs in gate space at +-1/8 torus (lib/GPU/gates.cu:124-130,
     BinOps_enc.cpp:164-167) instead of the +-1/4096 integer encoding."""
-    mu = mod_switch_to_torus32(plan.bias, params.msg_space)
+    mu = mod_switch_to_torus32(plan.bias.astype(np.int64) * g_in,
+                               params.msg_space)
     x = _add_bias_body(x, mu)
     tv = jnp.asarray(const_test_vector(params, out_value, params.msg_space))
     return x, tv
 
 
 def quant_sign_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams,
-                   out_value: int = 1) -> jax.Array:
+                   out_value: int = 1, g_in: int = 1) -> jax.Array:
     """Sign activation: bias add + one sign bootstrap per activation."""
-    xb, tv = quant_sign_pre(plan, x, params, out_value)
+    xb, tv = quant_sign_pre(plan, x, params, out_value, g_in)
     return pbs(xb.reshape(-1, xb.shape[-1]), tv).reshape(xb.shape)
 
 
@@ -148,12 +151,15 @@ def maxpool_sign_value(plan: PoolPlan, params: TfheParams) -> int:
     return max(1, params.msg_space // (4 * w))
 
 
-def quant_add_bias_enc(plan: QuantPlan, x: jax.Array, params: TfheParams) -> jax.Array:
-    mu = mod_switch_to_torus32(plan.bias, params.msg_space)
+def quant_add_bias_enc(plan: QuantPlan, x: jax.Array, params: TfheParams,
+                       g_in: int = 1) -> jax.Array:
+    mu = mod_switch_to_torus32(plan.bias.astype(np.int64) * g_in,
+                               params.msg_space)
     return _add_bias_body(x, mu)
 
 
-def relu_test_vectors(plan: QuantPlan, params: TfheParams) -> np.ndarray:
+def relu_test_vectors(plan: QuantPlan, params: TfheParams,
+                      g_in: int = 1, g_out: int = 1) -> np.ndarray:
     """Per-channel programmable test vectors for the DoReFa relu staircase.
 
     With the half-torus pre-bias R = msize/4, rotation j represents input
@@ -164,24 +170,28 @@ def relu_test_vectors(plan: QuantPlan, params: TfheParams) -> np.ndarray:
     R = msize // 4
     j = np.arange(N)
     v = np.round(j * msize / (2 * N)).astype(np.int64) - R  # [-R, R)
-    slope = plan.slope.astype(np.int64)[:, None]  # [C, 1]
-    bias = plan.bias.astype(np.int64)[:, None]
-    y = (slope * v[None, :] + bias) >> plan.slope_bits
-    top = (1 << plan.shift_bits) - 1
-    out = np.clip(y, 0, top)
+    out = _staircase_i64(plan, v, g_in) * g_out
     return mod_switch_to_torus32(out, msize).astype(np.int32)  # [C, N]
 
 
-def _staircase_i64(plan: QuantPlan, v: np.ndarray) -> np.ndarray:
+def _staircase_i64(plan: QuantPlan, v: np.ndarray, g_in: int = 1) -> np.ndarray:
     """The DoReFa staircase clamp((slope*v + bias) >> slope_bits, 0, top) on
-    int64 message-space values v [M] -> [C, M] (IntFunc.cpp:953-969)."""
+    int64 message-space values v [M] -> [C, M] (IntFunc.cpp:953-969).
+
+    ``g_in``: the encoding gain of v (a power of two).  The staircase of the
+    UNSCALED value x = v/g folds exactly into integer arithmetic:
+    (slope*(g*x) + g*bias) >> (slope_bits + log2 g) == (slope*x + bias) >>
+    slope_bits for any integer x."""
+    assert g_in & (g_in - 1) == 0, g_in
     slope = plan.slope.astype(np.int64)[:, None]
-    bias = plan.bias.astype(np.int64)[:, None]
-    y = (slope * v[None, :].astype(np.int64) + bias) >> plan.slope_bits
+    bias = plan.bias.astype(np.int64)[:, None] * g_in
+    sb = plan.slope_bits + (g_in.bit_length() - 1)
+    y = (slope * v[None, :].astype(np.int64) + bias) >> sb
     return np.clip(y, 0, (1 << plan.shift_bits) - 1)
 
 
-def relu_fdfb_test_vectors(plan: QuantPlan, params: TfheParams):
+def relu_fdfb_test_vectors(plan: QuantPlan, params: TfheParams,
+                           g_in: int = 1, g_out: int = 1):
     """Odd/even test vectors for the FULL-range (|v| < msize/2) relu, plus a
     per-channel torus constant.
 
@@ -206,18 +216,20 @@ def relu_fdfb_test_vectors(plan: QuantPlan, params: TfheParams):
     N, msize = params.N, params.msg_space
     u = np.round(np.arange(N) * msize / (2 * N)).astype(np.int64)
     ms = lambda y: mod_switch_to_torus32(y, msize).astype(np.int64)  # noqa: E731
-    a = ms(_staircase_i64(plan, u))
-    b = ms(_staircase_i64(plan, u - msize // 2))
+    a = ms(_staircase_i64(plan, u, g_in) * g_out)
+    b = ms(_staircase_i64(plan, u - msize // 2, g_in) * g_out)
     tv_odd = ((a - b) >> 1).astype(np.int32)  # [C, N]
     tv_even = (a + b) >> 1
     edge = np.array([0, -1, msize // 2 - 1, -msize // 2], np.int64)
-    c = (ms(_staircase_i64(plan, edge)).sum(axis=1) // 4).astype(np.int64)  # [C]
+    c = (ms(_staircase_i64(plan, edge, g_in) * g_out).sum(axis=1) // 4
+         ).astype(np.int64)  # [C]
     tv_even = (tv_even - c[:, None]).astype(np.int32)
     return tv_odd, tv_even, c.astype(np.int32)
 
 
 def quant_relu_fdfb_enc(
-    plan: QuantPlan, x: jax.Array, pbs, params: TfheParams
+    plan: QuantPlan, x: jax.Array, pbs, params: TfheParams,
+    g_in: int = 1, g_out: int = 1,
 ) -> jax.Array:
     """Full-range DoReFa relu: 3 bootstraps per activation, valid while
     |conv output| < msize/2 — the same leveled budget as the reference's
@@ -229,7 +241,7 @@ def quant_relu_fdfb_enc(
     msize = params.msg_space
     quarter = np.int32(int(mod_switch_to_torus32(msize // 4, msize)))
     tv_sign = jnp.asarray(const_test_vector(params, msize // 4, msize))
-    tv_odd, tv_even, c = relu_fdfb_test_vectors(plan, params)
+    tv_odd, tv_even, c = relu_fdfb_test_vectors(plan, params, g_in, g_out)
     flat = x.reshape(-1, R)
     m = flat.shape[0]
     s = pbs(flat, tv_sign)  # LWE of +-msize/4
@@ -253,14 +265,15 @@ def quant_relu_fdfb_stage1(plan: QuantPlan, x: jax.Array, params: TfheParams):
 
 
 def quant_relu_fdfb_stage2(
-    plan: QuantPlan, flat: jax.Array, s: jax.Array, params: TfheParams
+    plan: QuantPlan, flat: jax.Array, s: jax.Array, params: TfheParams,
+    g_in: int = 1, g_out: int = 1,
 ):
     """Staged-mode FDFB part 2: leveled glue + the two programmable test
     vectors, each [m, N] (per-channel), plus the seam constant row [m]."""
     msize = params.msg_space
     quarter = np.int32(int(mod_switch_to_torus32(msize // 4, msize)))
     ct2 = (flat - s).at[:, -1].add(quarter)
-    tv_odd, tv_even, c = relu_fdfb_test_vectors(plan, params)
+    tv_odd, tv_even, c = relu_fdfb_test_vectors(plan, params, g_in, g_out)
     m, C = flat.shape[0], plan.depth
     tvs_o = jnp.broadcast_to(
         jnp.asarray(tv_odd)[None], (m // C, C, params.N)).reshape(m, params.N)
@@ -270,28 +283,31 @@ def quant_relu_fdfb_stage2(
     return ct2, tvs_o, tvs_e, c_flat
 
 
-def quant_relu_pre(plan: QuantPlan, x: jax.Array, params: TfheParams):
+def quant_relu_pre(plan: QuantPlan, x: jax.Array, params: TfheParams,
+                   g_in: int = 1, g_out: int = 1):
     """PBS boundary for the DoReFa relu: (pre-biased x, per-activation tv
     [m, N]); the caller flattens to [m, R], bootstraps, reshapes back."""
     B, H, W, C, R = x.shape
     half = np.int32(int(mod_switch_to_torus32(params.msg_space // 4, params.msg_space)))
     x = x.at[..., -1].add(half)  # pre-bias into [0, msize/2)
-    tvs = jnp.asarray(relu_test_vectors(plan, params))  # [C, N]
+    tvs = jnp.asarray(relu_test_vectors(plan, params, g_in, g_out))  # [C, N]
     tv_all = jnp.broadcast_to(tvs[None, :, :], (B * H * W, C, params.N)).reshape(-1, params.N)
     return x, tv_all
 
 
-def quant_relu_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Array:
+def quant_relu_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams,
+                   g_in: int = 1, g_out: int = 1) -> jax.Array:
     """DoReFa relu as one per-channel programmable bootstrap.
 
     Valid while the conv output magnitude stays below msize/4 (half-torus
     trick); beyond that the phase wraps, exactly like the reference's leveled
     accumulation beyond its 4096 message space."""
-    xb, tv_all = quant_relu_pre(plan, x, params)
+    xb, tv_all = quant_relu_pre(plan, x, params, g_in, g_out)
     return pbs(xb.reshape(-1, xb.shape[-1]), tv_all).reshape(xb.shape)
 
 
-def maxpool_enc(plan: PoolPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Array:
+def maxpool_enc(plan: PoolPlan, x: jax.Array, pbs, params: TfheParams,
+                g_out: int = 1) -> jax.Array:
     """Window OR via one biased sign bootstrap per output element.
 
     Inputs are +-V sign bits (V = maxpool_sign_value, produced by the
@@ -302,11 +318,12 @@ def maxpool_enc(plan: PoolPlan, x: jax.Array, pbs, params: TfheParams) -> jax.Ar
     Out-of-bounds window slots contribute zero ciphertexts and are excluded
     from the count.
     """
-    s, tv = maxpool_pre(plan, x, params)
+    s, tv = maxpool_pre(plan, x, params, g_out)
     return pbs(s.reshape(-1, s.shape[-1]), tv).reshape(s.shape)
 
 
-def maxpool_pre(plan: PoolPlan, x: jax.Array, params: TfheParams):
+def maxpool_pre(plan: PoolPlan, x: jax.Array, params: TfheParams,
+                g_out: int = 1):
     """PBS boundary for the window-OR maxpool: (biased window sums
     [B, OH, OW, C, R], tv [N]); caller flattens, bootstraps, reshapes."""
     V = maxpool_sign_value(plan, params)
@@ -322,5 +339,5 @@ def maxpool_pre(plan: PoolPlan, x: jax.Array, params: TfheParams):
     counts = ok_h[:, None] * ok_w[None, :]  # [OH, OW]
     bias_mu = mod_switch_to_torus32((counts - 1) * V, params.msg_space)  # [OH, OW]
     s = s.at[..., -1].add(jnp.asarray(bias_mu, jnp.int32)[None, :, :, None])
-    tv = jnp.asarray(const_test_vector(params, 1, params.msg_space))
+    tv = jnp.asarray(const_test_vector(params, g_out, params.msg_space))
     return s, tv

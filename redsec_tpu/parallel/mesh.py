@@ -156,9 +156,9 @@ def _plan_tp_layers(model, params, tp: int):
     from ..crypto.torus import mod_switch_to_torus32
     from ..models.spec import Activation
     from ..ops.encrypted import maxpool_sign_value, relu_fdfb_test_vectors
-    from ..runtime.encrypted import _relu_modes
+    from ..runtime.encrypted import _resolve_info
 
-    relu_modes = _relu_modes(model, params)
+    info = _resolve_info(model, params)
     msize = params.msg_space
     layers = []
     in_sharded = False  # input images are replicated over tp
@@ -191,27 +191,33 @@ def _plan_tp_layers(model, params, tp: int):
         )
         L["in_sharded"], L["out_sharded"] = in_sharded, out_sharded
         ospec = P("tp") if out_sharded else P()
+        r = info[i]
+        L["gains"] = (r.in_gain, r.out_gain)
         if layer.conv is not None and layer.conv.neg_correction is not None:
-            mu = mod_switch_to_torus32(layer.conv.neg_correction, msize)
+            mu = mod_switch_to_torus32(
+                layer.conv.neg_correction.astype(np.int64) * r.in_gain, msize)
             args.append(jnp.asarray(mu, jnp.int32))
             specs.append(ospec)
         q = layer.quant
         if q.mode in (Activation.SIGN, Activation.NONE):
             args.append(jnp.asarray(
-                mod_switch_to_torus32(q.bias, msize), jnp.int32))
+                mod_switch_to_torus32(q.bias.astype(np.int64) * r.in_gain,
+                                      msize), jnp.int32))
             specs.append(ospec)
             if q.mode == Activation.SIGN:
                 ov = (maxpool_sign_value(layer.maxpool, params)
-                      if layer.maxpool is not None else 1)
+                      if layer.maxpool is not None else r.out_gain)
                 L["tv_sign"] = jnp.asarray(const_test_vector(params, ov, msize))
-        elif relu_modes.get(i) == "quarter":
+        elif r.relu_mode == "quarter":
             from ..ops.encrypted import relu_test_vectors
 
-            args.append(jnp.asarray(relu_test_vectors(q, params)))  # [C, N]
+            args.append(jnp.asarray(
+                relu_test_vectors(q, params, r.in_gain, r.out_gain)))  # [C, N]
             specs.append(P("tp") if out_sharded else P())
             L["relu"] = "quarter"
         else:
-            tv_o, tv_e, c_seam = relu_fdfb_test_vectors(q, params)
+            tv_o, tv_e, c_seam = relu_fdfb_test_vectors(q, params, r.in_gain,
+                                                        r.out_gain)
             args.append(jnp.asarray(tv_o))
             specs.append(P("tp") if out_sharded else P())
             args.append(jnp.asarray(tv_e))
@@ -228,7 +234,7 @@ def _plan_tp_layers(model, params, tp: int):
         L["args"], L["specs"] = args, specs
         layers.append(L)
         in_sharded = out_sharded
-    return layers, relu_modes
+    return layers, info
 
 
 def build_tp_encrypted_forward(model, dkey, mesh: Mesh, pbs_chunk: int = 512):
@@ -253,8 +259,7 @@ def build_tp_encrypted_forward(model, dkey, mesh: Mesh, pbs_chunk: int = 512):
     tp = mesh.shape["tp"]
     msize = params.msg_space
     pbs_impl = make_chunked_impl(params, dkey.plan, chunk=pbs_chunk)
-    layers, _ = _plan_tp_layers(model, params, tp)
-    n_args = [len(L["args"]) for L in layers]
+    layers, info = _plan_tp_layers(model, params, tp)
 
     def conv_local(cv, x, wts):
         B, R = x.shape[0], x.shape[-1]
@@ -351,9 +356,10 @@ def build_tp_encrypted_forward(model, dkey, mesh: Mesh, pbs_chunk: int = 512):
                 bias_mu = mod_switch_to_torus32((cnt - 1) * V, msize)
                 ssum = ssum.at[..., -1].add(
                     jnp.asarray(bias_mu, jnp.int32)[None, :, :, None])
+                g_out = L["gains"][1]
                 tv1 = jnp.asarray(
                     np.full(params.N,
-                            int(mod_switch_to_torus32(np.int64(1), msize)),
+                            int(mod_switch_to_torus32(np.int64(g_out), msize)),
                             np.int32))
                 x = pbs(ssum.reshape(-1, ssum.shape[-1]), tv1).reshape(ssum.shape)
         return x.reshape(x.shape[0], -1, x.shape[-1])
@@ -373,5 +379,8 @@ def build_tp_encrypted_forward(model, dkey, mesh: Mesh, pbs_chunk: int = 512):
     def forward(x):
         return shard(x, dkey.bk_ntt, dkey.ksk_limbs, *flat_args)
 
+    from ..runtime.encrypted import model_out_gain
+
     forward.tp_layout = [(L["in_sharded"], L["out_sharded"]) for L in layers]
+    forward.out_gain = model_out_gain(info)
     return forward

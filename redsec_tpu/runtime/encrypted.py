@@ -20,52 +20,61 @@ from ..ops import encrypted as eops
 from .ranges import resolve_pbs_ranges
 
 
-def _relu_modes(model: ModelPlan, params, range_check: bool = True):
-    """Per-layer relu implementation ("quarter" 1-PBS | "full" 3-PBS FDFB)
-    plus the loud range guard (runtime/ranges.py)."""
-    info = resolve_pbs_ranges(model, params.msg_space, strict=range_check)
-    return {i: r.relu_mode for i, r in info.items() if r.relu_mode is not None}
+def _resolve_info(model: ModelPlan, params, range_check: bool = True):
+    """Per-layer PbsRange info: relu implementation ("quarter" 1-PBS |
+    "full" 3-PBS FDFB), per-edge encoding gains, and the loud range guard
+    (runtime/ranges.py)."""
+    return resolve_pbs_ranges(model, params.msg_space, strict=range_check)
 
 
-def _run_quant(layer, x, pbs_fn, params, relu_mode):
+def model_out_gain(info) -> int:
+    """Encoding gain carried by the final class scores (divide decrypted
+    scores by this; argmax is invariant to it)."""
+    return info[max(info)].out_gain
+
+
+def _run_layer_ops(layer, x, pbs_fn, params, r):
+    """Conv/pool/quant/maxpool for one layer, with r: PbsRange gains."""
+    if layer.conv is not None:
+        x = eops.conv_enc(layer.conv, x, params.msg_space, r.in_gain)
+    if layer.sumpool is not None:
+        x = eops.sumpool_enc(layer.sumpool, x)
     q = layer.quant
     if q.mode == Activation.SIGN:
         # a maxpool-feeding sign outputs +-V so the window-OR margin dwarfs
         # the mod-switch noise (ops/encrypted.py:maxpool_sign_value)
         ov = (eops.maxpool_sign_value(layer.maxpool, params)
-              if layer.maxpool is not None else 1)
-        return eops.quant_sign_enc(q, x, pbs_fn, params, ov)
-    if q.mode == Activation.NONE:
-        return eops.quant_add_bias_enc(q, x, params)
-    if relu_mode == "quarter":
-        return eops.quant_relu_enc(q, x, pbs_fn, params)
-    return eops.quant_relu_fdfb_enc(q, x, pbs_fn, params)
+              if layer.maxpool is not None else r.out_gain)
+        x = eops.quant_sign_enc(q, x, pbs_fn, params, ov, r.in_gain)
+    elif q.mode == Activation.NONE:
+        x = eops.quant_add_bias_enc(q, x, params, r.in_gain)
+    elif r.relu_mode == "quarter":
+        x = eops.quant_relu_enc(q, x, pbs_fn, params, r.in_gain, r.out_gain)
+    else:
+        x = eops.quant_relu_fdfb_enc(q, x, pbs_fn, params, r.in_gain,
+                                     r.out_gain)
+    if layer.maxpool is not None:
+        x = eops.maxpool_enc(layer.maxpool, x, pbs_fn, params, r.out_gain)
+    return x
 
 
 def build_layer_impls(model: ModelPlan, params, plan, pbs_chunk: int = 512,
-                      relu_modes=None):
+                      info=None):
     """Per-layer un-jitted forwards ``impl(bk_ntt, ksk_limbs, x) -> x'``.
     The caller is responsible for the final reshape to [B, classes, n+1].
     Lets callers jit layer-by-layer: large nets (CIFAR) as a single
     whole-model HLO can exceed what a remote compile service accepts.
     """
     pbs_impl = make_chunked_impl(params, plan, chunk=pbs_chunk)
-    if relu_modes is None:
-        relu_modes = _relu_modes(model, params)
+    if info is None:
+        info = _resolve_info(model, params)
 
     def mk(i, layer):
         def run(bk_ntt, ksk_limbs, x):
             def pbs_fn(ct, tv):
                 return pbs_impl(bk_ntt, ksk_limbs, ct, tv)
 
-            if layer.conv is not None:
-                x = eops.conv_enc(layer.conv, x, params.msg_space)
-            if layer.sumpool is not None:
-                x = eops.sumpool_enc(layer.sumpool, x)
-            x = _run_quant(layer, x, pbs_fn, params, relu_modes.get(i))
-            if layer.maxpool is not None:
-                x = eops.maxpool_enc(layer.maxpool, x, pbs_fn, params)
-            return x
+            return _run_layer_ops(layer, x, pbs_fn, params, info[i])
 
         return run
 
@@ -73,7 +82,7 @@ def build_layer_impls(model: ModelPlan, params, plan, pbs_chunk: int = 512,
 
 
 def build_forward_impl(
-    model: ModelPlan, params, plan, pbs_chunk: int = 512, relu_modes=None
+    model: ModelPlan, params, plan, pbs_chunk: int = 512, info=None
 ) -> Callable:
     """Un-jitted encrypted forward taking the evaluation key as arguments:
     ``impl(bk_ntt, ksk_limbs, x [B,H,W,C,n+1]) -> [B, classes, n+1]``.
@@ -82,29 +91,24 @@ def build_forward_impl(
     the ~330 MB key into the serialized HLO (see crypto/bootstrap.py).
     """
     pbs_impl = make_chunked_impl(params, plan, chunk=pbs_chunk)
-    if relu_modes is None:
-        relu_modes = _relu_modes(model, params)
+    if info is None:
+        info = _resolve_info(model, params)
 
     def forward(bk_ntt, ksk_limbs, x: jax.Array) -> jax.Array:
         def pbs_fn(ct, tv):
             return pbs_impl(bk_ntt, ksk_limbs, ct, tv)
 
         for i, layer in enumerate(model.layers):
-            if layer.conv is not None:
-                x = eops.conv_enc(layer.conv, x, params.msg_space)
-            if layer.sumpool is not None:
-                x = eops.sumpool_enc(layer.sumpool, x)
-            x = _run_quant(layer, x, pbs_fn, params, relu_modes.get(i))
-            if layer.maxpool is not None:
-                x = eops.maxpool_enc(layer.maxpool, x, pbs_fn, params)
+            x = _run_layer_ops(layer, x, pbs_fn, params, info[i])
         return x.reshape(x.shape[0], -1, x.shape[-1])
 
+    forward.out_gain = model_out_gain(info)
     return forward
 
 
 def build_staged_forward(
     model: ModelPlan, dkey: DeviceCloudKey, pbs_chunk: int = 512,
-    pbs_macro: int = 16384, relu_modes=None,
+    pbs_macro: int = 16384, info=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Encrypted forward with HOST-level PBS macro-batching.
 
@@ -118,8 +122,8 @@ def build_staged_forward(
     from ..crypto.bootstrap import _key_material, make_chunked_impl
 
     params, plan = dkey.params, dkey.plan
-    if relu_modes is None:
-        relu_modes = _relu_modes(model, params)
+    if info is None:
+        info = _resolve_info(model, params)
     key_arg = _key_material(dkey)
     pbs_impl = jax.jit(make_chunked_impl(params, plan, chunk=pbs_chunk))
 
@@ -141,22 +145,25 @@ def build_staged_forward(
         return jnp.concatenate(outs, axis=0)
 
     def _pre_conv(i, layer):
+        r = info[i]
+
         def run(x):
             if layer.conv is not None:
-                x = eops.conv_enc(layer.conv, x, params.msg_space)
+                x = eops.conv_enc(layer.conv, x, params.msg_space, r.in_gain)
             if layer.sumpool is not None:
                 x = eops.sumpool_enc(layer.sumpool, x)
             q = layer.quant
             if q.mode == Activation.SIGN:
                 ov = (eops.maxpool_sign_value(layer.maxpool, params)
-                      if layer.maxpool is not None else 1)
-                ct, tv = eops.quant_sign_pre(q, x, params, ov)
+                      if layer.maxpool is not None else r.out_gain)
+                ct, tv = eops.quant_sign_pre(q, x, params, ov, r.in_gain)
                 return ct, tv, x.shape
             if q.mode == Activation.NONE:
-                x = eops.quant_add_bias_enc(q, x, params)
+                x = eops.quant_add_bias_enc(q, x, params, r.in_gain)
                 return x, None, x.shape
-            if relu_modes.get(i) == "quarter":
-                ct, tv = eops.quant_relu_pre(q, x, params)
+            if r.relu_mode == "quarter":
+                ct, tv = eops.quant_relu_pre(q, x, params, r.in_gain,
+                                             r.out_gain)
                 return ct, tv, x.shape
             # FDFB stage 1: flat cts + sign tv; forward runs stages 2/3
             ct, tv = eops.quant_relu_fdfb_stage1(q, x, params)
@@ -167,13 +174,15 @@ def build_staged_forward(
     pre_fns = [jax.jit(_pre_conv(i, layer))
                for i, layer in enumerate(model.layers)]
     fdfb_fns = {
-        i: jax.jit(lambda flat, s, q=layer.quant:
-                   eops.quant_relu_fdfb_stage2(q, flat, s, params))
+        i: jax.jit(lambda flat, s, q=layer.quant, r=info[i]:
+                   eops.quant_relu_fdfb_stage2(q, flat, s, params,
+                                               r.in_gain, r.out_gain))
         for i, layer in enumerate(model.layers)
-        if layer.quant.mode == Activation.RELU and relu_modes.get(i) == "full"
+        if layer.quant.mode == Activation.RELU and info[i].relu_mode == "full"
     }
     mpre_fns = {
-        i: jax.jit(lambda x, l=layer: eops.maxpool_pre(l.maxpool, x, params))
+        i: jax.jit(lambda x, l=layer, r=info[i]:
+                   eops.maxpool_pre(l.maxpool, x, params, r.out_gain))
         for i, layer in enumerate(model.layers) if layer.maxpool is not None
     }
 
@@ -221,9 +230,8 @@ def build_encrypted_forward(
     """
     from ..crypto.bootstrap import _key_material
 
-    relu_modes = _relu_modes(model, dkey.params, range_check)
-    impl = build_forward_impl(model, dkey.params, dkey.plan, pbs_chunk,
-                              relu_modes)
+    info = _resolve_info(model, dkey.params, range_check)
+    impl = build_forward_impl(model, dkey.params, dkey.plan, pbs_chunk, info)
 
     if jit == "auto":
         from ..utils.metrics import summarize
@@ -240,17 +248,17 @@ def build_encrypted_forward(
             jit = True if len(model.layers) < 8 else "layer"
 
     if jit == "staged":
-        forward = build_staged_forward(model, dkey, pbs_chunk, pbs_macro,
-                                       relu_modes)
+        forward = build_staged_forward(model, dkey, pbs_chunk, pbs_macro, info)
         forward.impl = impl
         forward.mode = "staged"
+        forward.out_gain = model_out_gain(info)
         return forward
 
     key_arg = _key_material(dkey)
     if jit == "layer":
         layer_fns = [jax.jit(f) for f in
                      build_layer_impls(model, dkey.params, dkey.plan, pbs_chunk,
-                                       relu_modes)]
+                                       info)]
 
         def forward(x: jax.Array) -> jax.Array:
             for f in layer_fns:
@@ -264,6 +272,7 @@ def build_encrypted_forward(
 
     forward.impl = impl
     forward.mode = jit
+    forward.out_gain = model_out_gain(info)
     return forward
 
 
@@ -276,9 +285,16 @@ def encrypt_images(sk, images: np.ndarray, params, rng=None) -> np.ndarray:
     return lwe.encrypt_integers(sk.lwe_key, images, params, rng)
 
 
-def decrypt_scores(sk, scores_ct: np.ndarray, params) -> np.ndarray:
+def decrypt_scores(sk, scores_ct: np.ndarray, params,
+                   out_gain: int = 1) -> np.ndarray:
     """Client-side: decrypt class-score ciphertexts [B, classes, n+1] ->
-    signed integers (client/decrypt_image.cpp:46-63)."""
+    signed integers (client/decrypt_image.cpp:46-63).
+
+    ``out_gain``: the forward's encoding gain (forward.out_gain) — scores
+    are rescaled back to reference logit units (argmax-invariant)."""
     from ..crypto import lwe
 
-    return lwe.decrypt_integers(sk.lwe_key, np.asarray(scores_ct), params)
+    raw = lwe.decrypt_integers(sk.lwe_key, np.asarray(scores_ct), params)
+    if out_gain == 1:
+        return raw
+    return np.rint(raw / out_gain).astype(raw.dtype)

@@ -104,9 +104,11 @@ def _layer_intervals(layer: LayerPlan, lo: np.ndarray, hi: np.ndarray):
         top = (1 << q.shift_bits) - 1
         lo = np.zeros(q.depth, np.int64)
         hi = np.full(q.depth, top, np.int64)
-    else:  # NONE: leveled bias add only, no bootstrap
+    else:  # NONE: leveled bias add only, no bootstrap; bound still
+        # matters (decrypt range / downstream gain selection)
         b = q.bias.astype(np.int64)
         lo, hi = lo + b, hi + b
+        bound = int(np.maximum(np.abs(lo), np.abs(hi)).max())
 
     # maxpool's OR bootstrap bound is safe by construction and accounted in
     # resolve_pbs_ranges via _maxpool_bound (it needs msg_space)
@@ -148,7 +150,7 @@ def calibrate_ranges(model: ModelPlan, images: np.ndarray) -> List[Optional[int]
             pre = rp.sumpool_ptxt(layer.sumpool, pre)
         q = layer.quant
         bound = None
-        if q.mode == Activation.SIGN:
+        if q.mode == Activation.SIGN or q.mode == Activation.NONE:
             b = np.asarray(pre) + q.bias.reshape(1, 1, 1, -1)
             bound = int(np.abs(b).max())
         elif q.mode == Activation.RELU:
@@ -160,21 +162,67 @@ def calibrate_ranges(model: ModelPlan, images: np.ndarray) -> List[Optional[int]
 
 
 def resolve_pbs_ranges(
-    model: ModelPlan, msg_space: int, strict: bool = True
+    model: ModelPlan, msg_space: int, strict: bool = True,
+    gains: bool = True, gain_headroom: float = 2.0,
 ) -> Dict[int, PbsRange]:
-    """Pick the relu implementation per layer and guard every PBS boundary.
+    """Pick the relu implementation, per-edge encoding gains, and guard
+    every PBS boundary.
 
-    Returns {layer_index: PbsRange}.  Raises ValueError when a bound exceeds
-    the widest valid domain (msg_space/2) and ``strict``; with strict=False
-    the widest implementation is used anyway (the same silent-wrap behavior
-    the reference always has, lib/BinFunc.cpp:166)."""
+    Returns {layer_index: PbsRange}.  Raises ValueError when a scaled bound
+    exceeds the widest valid domain (msg_space/2) and ``strict``; with
+    strict=False the widest implementation is used anyway (the same
+    silent-wrap behavior the reference always has, lib/BinFunc.cpp:166).
+
+    Gains: each activation layer's output encoding is scaled by the largest
+    power of two keeping the NEXT layer's bound within
+    msg_space/2 / gain_headroom.  The mod-switch noise that dominates
+    end-to-end accuracy (~sqrt(n/24) rotation slots, PERFORMANCE.md) is
+    fixed in absolute message units, so a gain of g multiplies every sign /
+    relu decision margin by g at zero extra bootstraps.  Measured on
+    sign1024x1: 59% of hidden-layer pre-activations sit within +-1 sigma of
+    the boundary at unit encoding; at g=8 almost none do.  Gains need
+    calibrated or tight certified bounds — with only loose worst-case
+    bounds they stay 1 and behavior is unchanged."""
     certified = certified_pbs_bounds(model)
     out: Dict[int, PbsRange] = {}
     quarter, half = msg_space // 4, msg_space // 2
+    ranges = []
     for i, layer in enumerate(model.layers):
         r = PbsRange(certified=certified[i], measured=layer.measured_pre_bound)
+        ranges.append(r)
+        out[i] = r
+
+    if gains:
+        # choose out_gain of layer i from the bound of layer i+1 (whose
+        # inputs are layer i's activations); bounds are linear in in_gain
+        budget = half / gain_headroom
+        for i in range(len(model.layers) - 1):
+            q = model.layers[i].quant
+            if q.mode == Activation.NONE and model.layers[i].maxpool is None:
+                continue  # bootstrap-free layer: encoding passes through
+            nxt = ranges[i + 1].effective()
+            # the final bias-only layer has no bootstrap but its decrypt
+            # range must stay inside the message space too
+            if nxt is None or nxt <= 0:
+                continue
+            g = 1
+            while nxt * (g * 2) <= budget:
+                g *= 2
+            ranges[i].out_gain = g
+            ranges[i + 1].in_gain = g
+        # bootstrap-free (bias-only) layers don't re-encode: their outputs
+        # carry the input gain through (the final scores' out_gain)
+        for i, layer in enumerate(model.layers):
+            q = layer.quant
+            if q.mode == Activation.NONE and layer.maxpool is None:
+                ranges[i].out_gain = ranges[i].in_gain
+                if i + 1 < len(model.layers):
+                    ranges[i + 1].in_gain = ranges[i].out_gain
+
+    for i, layer in enumerate(model.layers):
+        r = ranges[i]
         q = layer.quant
-        eff = r.effective()
+        eff = r.scaled()
         if q.mode == Activation.RELU:
             r.relu_mode = "quarter" if (eff is not None and eff < quarter) else "full"
         if eff is not None and eff >= half and (
@@ -182,7 +230,8 @@ def resolve_pbs_ranges(
         ):
             msg = (
                 f"layer {i} ({model.spec.name}): pre-bootstrap bound {eff} "
-                f"exceeds the message-space budget +-{half} "
+                f"(x{r.in_gain} encoding gain) exceeds the message-space "
+                f"budget +-{half} "
                 f"({'measured' if r.measured is not None else 'certified worst-case'}); "
                 f"run runtime.ranges.calibrate_ranges for a data-driven bound, "
                 f"use a larger msg_space parameter set, or pass "
@@ -190,5 +239,4 @@ def resolve_pbs_ranges(
             )
             if strict:
                 raise ValueError(msg)
-        out[i] = r
     return out

@@ -81,6 +81,8 @@ def main():
     modes = {i: r.relu_mode for i, r in info.items() if r.relu_mode}
     if modes:
         print(f"[{time.time()-t0:6.1f}s] relu modes: {modes}")
+    print(f"[{time.time()-t0:6.1f}s] encoding gains: "
+          f"{ {i: (r.in_gain, r.out_gain) for i, r in info.items()} }")
 
     rng = np.random.default_rng(0)
     fwd = build_encrypted_forward(plan, dkey, jit=args.jit,
@@ -93,7 +95,8 @@ def main():
         remote-execution backends). Returns (preds, seconds)."""
         ct = jnp.asarray(encrypt_images(sk, xb, dkey.params, rng))
         t1 = time.time()
-        scores = decrypt_scores(sk, np.asarray(fwd(ct)), dkey.params)
+        scores = decrypt_scores(sk, np.asarray(fwd(ct)), dkey.params,
+                                getattr(fwd, 'out_gain', 1))
         return scores.argmax(1), time.time() - t1
 
     # first batch pays compilation; rerun it warm so timing is clean

@@ -174,8 +174,9 @@ def test_full_jit_encrypted_forward_runs(keys):
     plan = prep_model(spec, blob)
     x = rng.integers(-15, 16, size=(2, 8, 8, 1)).astype(np.int32)
     ct = encrypt_images(sk, x, TEST_NOISELESS, rng)
-    scores = decrypt_scores(sk, build_encrypted_forward(plan, dkey)(jnp.asarray(ct)),
-                            TEST_NOISELESS)
+    fwd = build_encrypted_forward(plan, dkey)
+    scores = decrypt_scores(sk, fwd(jnp.asarray(ct)), TEST_NOISELESS,
+                            fwd.out_gain)
     assert scores.shape == (2, 3)
     assert np.abs(scores).max() <= 12  # |fan-in 6 + bias 3| bound
 
@@ -361,8 +362,8 @@ def test_leveled_only_exactness(keys):
     x = rng.integers(-8, 9, size=(2, 6, 6, 2)).astype(np.int32)
     want = np.asarray(build_forward(plan)(jnp.asarray(x)))
     ct = encrypt_images(sk, x, TEST_NOISELESS, rng)
-    got = decrypt_scores(sk, build_encrypted_forward(plan, dkey)(jnp.asarray(ct)),
-                         TEST_NOISELESS)
+    fwd = build_encrypted_forward(plan, dkey)
+    got = decrypt_scores(sk, fwd(jnp.asarray(ct)), TEST_NOISELESS, fwd.out_gain)
     np.testing.assert_array_equal(got.reshape(want.shape), want)
 
 
@@ -393,8 +394,8 @@ def test_relu_layer_encrypted(keys):
     x = rng.integers(-1, 2, size=(3, 1, 1, 16)).astype(np.int32)
     want = np.asarray(build_forward(plan)(jnp.asarray(x)))
     ct = encrypt_images(sk, x, TEST_NOISELESS, rng)
-    got = decrypt_scores(sk, build_encrypted_forward(plan, dkey)(jnp.asarray(ct)),
-                         TEST_NOISELESS)
+    fwd = build_encrypted_forward(plan, dkey)
+    got = decrypt_scores(sk, fwd(jnp.asarray(ct)), TEST_NOISELESS, fwd.out_gain)
     got = got.reshape(want.shape)
     # relu staircase boundaries at granularity can shift a unit; argmax robust
     assert (got.argmax(1) == want.argmax(1)).all()

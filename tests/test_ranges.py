@@ -60,7 +60,8 @@ def test_calibrate_stores_bounds_on_plan():
     x = rng.integers(-4, 5, size=(8, 1, 1, 16)).astype(np.int32)
     rr.calibrate_ranges(plan, x)
     assert plan.layers[0].measured_pre_bound is not None
-    assert plan.layers[1].measured_pre_bound is None  # bias-only layer
+    # bias-only layers get bounds too (decrypt range / gain selection)
+    assert plan.layers[1].measured_pre_bound is not None
 
 
 def test_resolve_picks_quarter_vs_full():
@@ -101,3 +102,36 @@ def test_shipped_net_bounds_fit_sign_budget():
     plan = prep_model(get_model("mnist/sign1024x1"), ref)
     info = rr.resolve_pbs_ranges(plan, msg_space=4096)  # must not raise
     assert all(r.certified is None or r.certified < 2048 for r in info.values())
+
+
+def test_encoding_gains_scale_invariant():
+    """The gain-scheduled forward (margins scaled by per-edge powers of two,
+    chosen from certified bounds) decodes to EXACTLY the same scores as the
+    unit-gain forward after dividing out out_gain (noiseless keys)."""
+    import jax.numpy as jnp
+
+    from redsec_tpu.crypto import bootstrap as bs, keygen as kg
+    from redsec_tpu.crypto.params import TEST_NOISELESS
+    from redsec_tpu.runtime.encrypted import (
+        build_forward_impl, decrypt_scores, encrypt_images, model_out_gain,
+    )
+
+    plan = _fc_relu_model()
+    sk, cloud = kg.keygen(TEST_NOISELESS, seed=13)
+    dkey = bs.prepare_cloud_key(cloud)
+    rng = np.random.default_rng(4)
+    x = rng.integers(-1, 2, size=(3, 1, 1, 16)).astype(np.int32)
+    ct = jnp.asarray(encrypt_images(sk, x, TEST_NOISELESS, rng))
+
+    info_g = rr.resolve_pbs_ranges(plan, TEST_NOISELESS.msg_space)
+    info_u = rr.resolve_pbs_ranges(plan, TEST_NOISELESS.msg_space, gains=False)
+    assert any(r.out_gain > 1 for r in info_g.values())  # gains engaged
+    assert all(r.out_gain == 1 for r in info_u.values())
+
+    def run(info):
+        impl = build_forward_impl(plan, dkey.params, dkey.plan, info=info)
+        out = impl(dkey.bk_ntt, dkey.ksk_limbs, ct)
+        from redsec_tpu.runtime.encrypted import model_out_gain as mog
+        return decrypt_scores(sk, np.asarray(out), TEST_NOISELESS, mog(info))
+
+    np.testing.assert_array_equal(run(info_g), run(info_u))
