@@ -252,6 +252,27 @@ def function_test_vector(params: TfheParams, fn: Callable[[np.ndarray], np.ndarr
 # --------------------------------------------------------------------------- #
 
 
+def gadget_offset(p: TfheParams) -> int:
+    """TFHE v1.1 signed-decomposition offset: sum_j (Bg/2) * 2^(32-(j+1)*Bgbit)
+    (tfhe v1.1 tgsw.cpp TorusPolynomialDecompH / its precomputed params->offset).
+    Adding it makes each masked bit-field a balanced digit after subtracting
+    Bg/2; the reconstruction error is one-sided floor truncation in
+    [0, 2^(32 - l*Bgbit)) — pinned by tests/test_tfhe_conventions.py."""
+    off = 0
+    for j in range(p.l):
+        off = (off + ((p.bg // 2) << (32 - (j + 1) * p.bg_bit))) & 0xFFFFFFFF
+    return off
+
+
+def gadget_decompose_np(p: TfheParams, x: np.ndarray) -> np.ndarray:
+    """NumPy reference of the device decompose (make_bootstrap_impl): torus
+    int32 [...] -> balanced digits [..., l] in [-Bg/2, Bg/2)."""
+    shifts = np.array([32 - (j + 1) * p.bg_bit for j in range(p.l)], np.uint32)
+    u = x.astype(np.uint32) + np.uint32(gadget_offset(p))
+    d = (u[..., None] >> shifts) & np.uint32(p.bg - 1)
+    return d.astype(np.int32) - np.int32(p.bg // 2)
+
+
 def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     """Build the un-jitted batched PBS implementation:
     ``impl(bk_ntt, ksk_limbs, ct [B, n+1], testvect [N]|[B, N]) -> [B, n+1]``.
@@ -266,9 +287,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     half_bg = p.half_bg
     mask_mod = p.bg - 1
     ms_shift = 32 - p.log2_2N
-    offset = 0
-    for j in range(l):
-        offset = (offset + (half_bg << (32 - (j + 1) * bg_bit))) & 0xFFFFFFFF
+    offset = gadget_offset(p)
     ks_t, ks_base, ks_basebit = p.ks_t, p.ks_base, p.ks_basebit
     prec_offset = 1 << (32 - (1 + ks_basebit * ks_t))
     # In-context stage ablation for profiling (results become WRONG):
@@ -655,7 +674,7 @@ def bootstrap_host(cloud: CloudKey, ct: np.ndarray, testvect: np.ndarray) -> np.
     N, n, l, bg_bit = p.N, p.n, p.l, p.bg_bit
     plan = _bootstrap_plan(p)
     half_bg, mask = p.half_bg, p.bg - 1
-    offset = sum((half_bg << (32 - (j + 1) * bg_bit)) for j in range(l)) & 0xFFFFFFFF
+    offset = gadget_offset(cloud.params)
 
     def mod_switch(x):
         u = np.int64(x) & 0xFFFFFFFF

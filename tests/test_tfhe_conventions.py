@@ -1,0 +1,165 @@
+"""TFHE v1.1 convention pinning (VERDICT r1 item 5).
+
+TFHE v1.1 itself cannot be built in this environment (no package installs,
+no network egress), so literal known-answer vectors are not reproducible
+here.  These tests instead pin every convention a "systematic misreading of
+TFHE semantics" could drift on, by two mechanisms:
+
+1. INDEPENDENT recomputation: each convention is re-derived in this file
+   with a structurally different algorithm (base-Bg long division instead of
+   the offset bit-trick; direct index arithmetic instead of blind rotation)
+   and compared against the production code.  A shared misreading would have
+   to be made twice in different formulations.
+2. BEHAVIORAL pinning with noiseless trivial ciphertexts: a trivial LWE
+   (a=0, b=phase) eliminates mask rounding, so the bootstrap's test-vector
+   read is deterministic — the rotation/indexing conventions are asserted
+   exactly, value by value.
+
+When TFHE v1.1 vectors ARE available (docs/TFHE_COMPAT.md has the exact
+generation recipe), drop the dump at tests/golden/tfhe_v11_vectors.npz and
+``test_tfhe_v11_known_answer_vectors`` consumes it.
+
+TFHE v1.1 source anchors (semantics recomputed here):
+- tgsw.cpp TorusPolynomialDecompH: offset trick, params->offset precompute
+- lwe-bootstrapping-functions.cpp tfhe_bootstrap_woKS_FFT:
+  barb = modSwitchFromTorus32(b, 2N); acc = X^{-barb} * testvect;
+  per-round CMUX by X^{a_i} with a_i = modSwitchFromTorus32(a_i, 2N)
+- numeric_functions.h modSwitchFromTorus32: round-half-up to 2N slots
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from redsec_tpu.crypto import bootstrap as bs
+from redsec_tpu.crypto import keygen as kg
+from redsec_tpu.crypto import lwe
+from redsec_tpu.crypto.params import (
+    SMALL, SMALL_V2, SMALL_V2_TPU, TEST_NOISELESS, get_params,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.mark.parametrize("p", [SMALL_V2, SMALL_V2_TPU, SMALL, TEST_NOISELESS],
+                         ids=lambda p: p.name)
+def test_gadget_decomposition_convention(p):
+    """The production signed decomposition == independent base-Bg long
+    division of floor((x + offset) / ULP), digit-wise minus Bg/2; the
+    reconstruction error is ONE-SIDED floor truncation in [0, ULP) — TFHE
+    v1.1's exact convention (a round-half-up or two-sided variant would fail
+    both assertions)."""
+    rng = np.random.default_rng(0)
+    x = rng.integers(-2**31, 2**31, size=50000).astype(np.int32)
+    # edge values where offset carries propagate through every digit
+    edges = np.array([0, -1, 1, 2**31 - 1, -2**31, bs.gadget_offset(p) - 2**32],
+                     np.int64).astype(np.int32)
+    x = np.concatenate([x, edges])
+
+    got = bs.gadget_decompose_np(p, x)
+
+    prec = p.l * p.bg_bit
+    u = (x.astype(np.int64) & 0xFFFFFFFF) + bs.gadget_offset(p)
+    t = (u >> (32 - prec)) % (p.bg ** p.l)
+    want = np.zeros((len(x), p.l), np.int64)
+    for j in range(p.l - 1, -1, -1):
+        want[:, j] = t % p.bg
+        t //= p.bg
+    want -= p.bg // 2
+    np.testing.assert_array_equal(got, want)
+
+    assert got.min() >= -p.bg // 2 and got.max() < p.bg // 2
+    weights = (1 << (32 - (np.arange(p.l) + 1) * p.bg_bit)).astype(np.int64)
+    rec = (got.astype(np.int64) * weights).sum(axis=1)
+    err = (x.astype(np.int64) - rec) % 2**32
+    assert (err < (1 << (32 - prec))).all()  # one-sided floor truncation
+
+
+@pytest.fixture(scope="module")
+def nl_keys():
+    sk, cloud = kg.keygen(TEST_NOISELESS, seed=17)
+    return sk, bs.prepare_cloud_key(cloud)
+
+
+def test_bootstrap_rotation_and_modswitch_convention(nl_keys):
+    """Behavioral pin with trivial ciphertexts (a=0, b=phase): the bootstrap
+    must read coefficient round_half_up(phase * 2N / 2^32) of the test
+    vector, negated for rotations in [N, 2N) (negacyclic wrap) — i.e.
+    acc = X^{-barb} * testvect with barb = modSwitchFromTorus32(b, 2N).
+
+    Checked for every rotation index and at half-slot boundaries (the
+    round-half-up tie goes UP, as in TFHE's modSwitchFromTorus32)."""
+    sk, dkey = nl_keys
+    p = TEST_NOISELESS
+    N, two_n = p.N, 2 * p.N
+    pbs = bs.make_batched_bootstrap(dkey)
+
+    # distinct, well-separated tv values (gap 2^24 >> decomposition error)
+    tv = ((np.arange(N, dtype=np.int64) - N // 2) << 24).astype(np.int32)
+
+    slot = 1 << (32 - p.log2_2N)
+    rots = np.arange(two_n)
+    phases_center = (rots * slot).astype(np.int64)
+    # half-slot boundary: phase = (r + 0.5) * slot exactly -> ties round UP
+    phases_tie = ((rots * slot) + slot // 2).astype(np.int64)
+
+    for phases, expect_rot in (
+        (phases_center, rots),
+        (phases_tie, (rots + 1) % two_n),
+    ):
+        ct = np.zeros((len(phases), p.n + 1), np.int32)
+        ct[:, -1] = phases.astype(np.uint64).astype(np.uint32).astype(np.int32)
+        out = np.asarray(pbs(ct, tv))
+        # decrypt raw phases (exact up to decomposition truncation + KS)
+        key = sk.lwe_key.astype(np.int64)
+        ph = (out[:, -1].astype(np.int64)
+              - (out[:, :-1].astype(np.int64) * key).sum(1)) & 0xFFFFFFFF
+        want = np.where(expect_rot < N,
+                        tv[expect_rot % N], -tv[expect_rot % N].astype(np.int64))
+        # compare mod 2^32, centered (phases and wants both wrap)
+        diff = ((ph - want) + 2**31) % 2**32 - 2**31
+        assert np.abs(diff).max() < 2**20  # << the 2^24 tv value gap
+
+
+def test_sign_bootstrap_mu_convention(nl_keys):
+    """binarize_int outputs +-mu with mu = value/msize on the torus
+    (lib/BinOps_enc.cpp:182-186): positive phases -> +mu, negative -> -mu,
+    asserted with exact trivial ciphertexts."""
+    sk, dkey = nl_keys
+    p = TEST_NOISELESS
+    pbs = bs.make_batched_bootstrap(dkey)
+    tv = np.asarray(bs.const_test_vector(p, 1, p.msg_space))
+    # even values only: TEST_NOISELESS has 2 message units per rotation
+    # slot, so odd values sit exactly on round-half-up ties
+    vals = np.array([2, 6, p.msg_space // 2 - 2,
+                     -2, -6, -(p.msg_space // 2 - 2)], np.int64)
+    delta = 2**32 // p.msg_space
+    ct = np.zeros((len(vals), p.n + 1), np.int32)
+    ct[:, -1] = (vals * delta).astype(np.uint64).astype(np.uint32).astype(np.int32)
+    got = lwe.decrypt_integers(sk.lwe_key, np.asarray(pbs(ct, tv)), p)
+    np.testing.assert_array_equal(got, np.where(vals > 0, 1, -1))
+
+
+def test_tfhe_v11_known_answer_vectors():
+    """Consume a TFHE v1.1 dump when present (docs/TFHE_COMPAT.md recipe):
+    keys are imported, OUR bootstrapping key is generated from TFHE's secret
+    keys, and decrypt-level sign agreement is asserted on TFHE's own
+    encryptions."""
+    path = os.path.join(GOLDEN, "tfhe_v11_vectors.npz")
+    if not os.path.exists(path):
+        pytest.skip("TFHE v1.1 vectors not generated in this environment "
+                    "(no egress); see docs/TFHE_COMPAT.md")
+    d = np.load(path)
+    p = get_params(str(d["params"]))
+    rng = np.random.default_rng(0)
+    sk = kg.SecretKey(p, d["lwe_key"].astype(np.int32),
+                      d["rlwe_key"].astype(np.int32))
+    bk = kg.make_bootstrap_key(p, sk.lwe_key, sk.rlwe_key, rng)
+    ksk = kg.make_keyswitch_key(p, sk.rlwe_key, sk.lwe_key, rng)
+    dkey = bs.prepare_cloud_key(kg.CloudKey(p, bk, ksk))
+    pbs = bs.make_batched_bootstrap(dkey)
+    tv = np.asarray(bs.const_test_vector(p, 1, p.msg_space))
+    got = lwe.decrypt_integers(
+        sk.lwe_key, np.asarray(pbs(d["inputs"].astype(np.int32), tv)), p)
+    np.testing.assert_array_equal(got, d["expected_signs"])
