@@ -60,7 +60,8 @@ def measure_point(params_name: str, batch: int, iters: int):
 
     params = get_params(params_name)
     sk, dkey = ensure_keyset(params_name, seed=0)
-    pbs = bs.make_batched_bootstrap(dkey)
+    unroll = int(os.environ.get("REDSEC_UNROLL", "1"))
+    pbs = bs.make_batched_bootstrap(dkey, unroll)
 
     rng = np.random.default_rng(0)
     # distinct inputs per iteration: identical repeated calls can be served

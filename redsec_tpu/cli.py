@@ -176,6 +176,18 @@ def cmd_weight_convert(args):
     print(f"packed weights ({len(blob)} bytes) -> {args.out}")
 
 
+def cmd_netlist_wizard(args):
+    import sys
+
+    from .compiler.wizard import run_wizard
+
+    csv = run_wizard(sys.stdin, sys.stdout)
+    with open(args.out, "w") as f:
+        f.write(csv)
+    print(f"netlist written to {args.out}; compile it with: "
+          f"python -m redsec_tpu compile {args.out} <name>")
+
+
 def cmd_compile(args):
     from .compiler.netlist import compile_netlist
 
@@ -237,6 +249,12 @@ def main(argv=None):
     p.add_argument("--raw", required=True, help="var.dat1 float dump")
     p.add_argument("--out", default="var_prep.dat")
     p.set_defaults(fn=cmd_weight_convert)
+
+    p = sub.add_parser("netlist-wizard",
+                       help="interactive netlist generator (role of "
+                            "REDsecNetlistGenerator.xlsm)")
+    p.add_argument("--out", default="netlist.csv")
+    p.set_defaults(fn=cmd_netlist_wizard)
 
     p = sub.add_parser("compile", help="compile a CSV netlist to a model spec")
     p.add_argument("netlist")

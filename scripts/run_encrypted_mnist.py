@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--batch", type=int, default=0,
                     help="images per encrypted batch (0 = all at once)")
     ap.add_argument("--jit", default="auto")
+    ap.add_argument("--pbs-chunk", type=int, default=512)
+    ap.add_argument("--pbs-macro", type=int, default=16384)
     ap.add_argument("--no-range-check", action="store_true",
                     help="accept reference-style silent wrapping (toy params)")
     args = ap.parse_args()
@@ -86,6 +88,8 @@ def main():
 
     rng = np.random.default_rng(0)
     fwd = build_encrypted_forward(plan, dkey, jit=args.jit,
+                                  pbs_chunk=args.pbs_chunk,
+                                  pbs_macro=args.pbs_macro,
                                   range_check=not args.no_range_check)
     nb = args.batch or args.images
 

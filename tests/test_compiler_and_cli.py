@@ -112,3 +112,54 @@ def test_multichip_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_netlist_wizard_reproduces_sample_structure(tmp_path):
+    """build_netlist (the xlsm replacement's core) emits a CSV that the
+    netlist compiler parses to the same ModelSpec as the reference's shipped
+    sample.csv (compiler/sample.csv)."""
+    import io
+
+    from redsec_tpu.compiler.netlist import parse_netlist
+    from redsec_tpu.compiler.wizard import WizardLayer, build_netlist, run_wizard
+
+    layers = [
+        WizardLayer("conv", 0, pool="sum", pool_window=(2, 2),
+                    pool_stride=(2, 2), bnorm=False, activation="sign"),
+        WizardLayer("fc", 1024), WizardLayer("fc", 1024),
+        WizardLayer("fc", 1024),
+        WizardLayer("fc", 10, bnorm=False, activation="none"),
+    ]
+    csv = build_netlist((28, 28, 1, 8), layers)
+    p = tmp_path / "wiz.csv"
+    p.write_text(csv)
+    got = parse_netlist(str(p), "wiz")
+    ref = parse_netlist(reference_path("compiler", "sample.csv"), "wiz")
+    assert len(got.layers) == len(ref.layers)
+    for a, b in zip(got.layers, ref.layers):
+        assert (a.domain, a.conv, a.out_depth, a.pool, a.activation, a.bias) \
+            == (b.domain, b.conv, b.out_depth, b.pool, b.activation, b.bias)
+
+    # the interactive flow with default answers produces a valid netlist too
+    answers = io.StringIO("\n".join([""] * 40))
+    csv2 = run_wizard(answers, io.StringIO())
+    p2 = tmp_path / "wiz2.csv"
+    p2.write_text(csv2)
+    spec2 = parse_netlist(str(p2), "wiz2")
+    assert spec2.layers[-1].out_depth == 10
+
+
+def test_netlist_wizard_enforces_style_guide():
+    import pytest
+
+    from redsec_tpu.compiler.wizard import WizardLayer, build_netlist
+
+    with pytest.raises(ValueError, match="MaxPool requires Sign"):
+        build_netlist((28, 28, 1, 8), [
+            WizardLayer("fc", 64, pool="max", activation="relu"),
+            WizardLayer("fc", 10, bnorm=False, activation="none"),
+        ])
+    with pytest.raises(ValueError, match="BNorm not allowed"):
+        build_netlist((28, 28, 1, 8), [
+            WizardLayer("fc", 10, bnorm=True, activation="none"),
+        ])
