@@ -8,6 +8,7 @@ only data-dependent sizes are resolved at trace time from the ModelPlan.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -233,16 +234,18 @@ def build_encrypted_forward(
     info = _resolve_info(model, dkey.params, range_check)
     impl = build_forward_impl(model, dkey.params, dkey.plan, pbs_chunk, info)
 
-    if jit == "auto":
-        from ..utils.metrics import summarize
+    from ..utils.metrics import summarize
 
-        biggest = max(
-            (s.get("bootstraps", 0) for s in summarize(model).get("layers", [])),
-            default=0,
-        )
+    stats = summarize(model)
+    per_image = {
+        "total": stats.get("total_bootstraps", 0),
+        "biggest": max((s.get("bootstraps", 0)
+                        for s in stats.get("layers", [])), default=0),
+    }
+    if jit == "auto":
         # the per-program bootstrap ceiling dominates: a shallow-but-wide net
         # whose biggest layer exceeds pbs_macro must stage regardless of depth
-        if biggest > pbs_macro:
+        if per_image["biggest"] > pbs_macro:
             jit = "staged"
         else:
             jit = True if len(model.layers) < 8 else "layer"
@@ -254,6 +257,19 @@ def build_encrypted_forward(
         forward.out_gain = model_out_gain(info)
         return forward
 
+    # Worker-crash guard: remote-execution backends fall over above ~32k
+    # bootstraps in ONE compiled program (PERFORMANCE.md "Known backend
+    # ceilings"); a crash poisons the whole tunnel session, so fail fast.
+    max_prog = int(os.environ.get("REDSEC_MAX_PROGRAM_BOOTS", "24000"))
+
+    def _guard_batch(b: int, per_img: int, mode):
+        if per_img * b > max_prog and jax.default_backend() not in ("cpu",):
+            raise ValueError(
+                f"{per_img * b} bootstraps in one {mode} program exceeds the "
+                f"backend's ~{max_prog} per-program ceiling; lower the batch "
+                f"(<= {max(1, max_prog // max(per_img, 1))}), use "
+                f'jit="staged", or raise REDSEC_MAX_PROGRAM_BOOTS')
+
     key_arg = _key_material(dkey)
     if jit == "layer":
         layer_fns = [jax.jit(f) for f in
@@ -261,6 +277,7 @@ def build_encrypted_forward(
                                        info)]
 
         def forward(x: jax.Array) -> jax.Array:
+            _guard_batch(x.shape[0], per_image["biggest"], "per-layer")
             for f in layer_fns:
                 x = f(key_arg, dkey.ksk_limbs, x)
             return x.reshape(x.shape[0], -1, x.shape[-1])
@@ -268,6 +285,8 @@ def build_encrypted_forward(
         fn = jax.jit(impl) if jit else impl
 
         def forward(x: jax.Array) -> jax.Array:
+            if jit:
+                _guard_batch(x.shape[0], per_image["total"], "whole-model")
             return fn(key_arg, dkey.ksk_limbs, x)
 
     forward.impl = impl
