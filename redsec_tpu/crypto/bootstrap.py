@@ -273,38 +273,41 @@ def gadget_decompose_np(p: TfheParams, x: np.ndarray) -> np.ndarray:
     return d.astype(np.int32) - np.int32(p.bg // 2)
 
 
-def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
-    """Build the un-jitted batched PBS implementation:
-    ``impl(bk_ntt, ksk_limbs, ct [B, n+1], testvect [N]|[B, N]) -> [B, n+1]``.
+class RoundOps:
+    """Per-round primitives shared by the single-device bootstrap impl and
+    the polynomial-sharded impl (parallel/ntt_shard.py): mod-switch,
+    negacyclic rotate, gadget decompose, sample extract, key switch.
 
-    The evaluation key is threaded as runtime arguments (NOT closure
-    constants): baked-in constants blow up the serialized HLO by the key size
-    (~330 MB), which breaks remote-compile backends and slows compilation.
-    """
-    N, n, l, bg_bit = p.N, p.n, p.l, p.bg_bit
-    two_n = 2 * N
-    rows = p.decomp_rows
-    half_bg = p.half_bg
-    mask_mod = p.bg - 1
-    ms_shift = 32 - p.log2_2N
-    offset = gadget_offset(p)
-    ks_t, ks_base, ks_basebit = p.ks_t, p.ks_base, p.ks_basebit
-    prec_offset = 1 << (32 - (1 + ks_basebit * ks_t))
-    # In-context stage ablation for profiling (results become WRONG):
-    # REDSEC_ABLATE=rotate|extprod|pointwise|intt|ks — see scripts/
-    # profile_bootstrap.py. Stubs are shape-preserving and fold-resistant so
-    # the remaining stages keep their real cost.
-    ablate = os.environ.get("REDSEC_ABLATE", "")
+    Hoisted out of ``make_bootstrap_impl`` so poly-sharded evaluation reuses
+    the exact same (tested) conventions instead of re-deriving them."""
 
-    primes = plan.primes if plan is not None else ()
+    def __init__(self, p: TfheParams):
+        self.p = p
+        N, n, l, bg_bit = p.N, p.n, p.l, p.bg_bit
+        self._two_n = 2 * N
+        self._ms_shift = 32 - p.log2_2N
+        self._offset = gadget_offset(p)
+        self._mask_mod = p.bg - 1
+        self._dec_shifts = np.array(
+            [32 - (j + 1) * bg_bit for j in range(l)], dtype=np.uint32
+        )
+        # digits fit int8 whenever Bg <= 2^8: materializing them narrow
+        # quarters the largest intra-round intermediate ([B, rows, N])
+        self._digit_dtype = jnp.int8 if p.half_bg <= 127 else jnp.int32
+        self._rot_radix = int(os.environ.get("REDSEC_ROT_RADIX", "2"))
+        self._ks_shifts = np.array(
+            [32 - (j + 1) * p.ks_basebit for j in range(p.ks_t)], dtype=np.uint32
+        )
+        self._prec_offset = 1 << (32 - (1 + p.ks_basebit * p.ks_t))
 
-    def mod_switch(x):
+    def mod_switch(self, x):
         u = x.astype(jnp.uint32)
-        u = (u + np.uint32(1 << (ms_shift - 1))) >> np.uint32(ms_shift)
-        return (u & np.uint32(two_n - 1)).astype(jnp.int32)
+        u = (u + np.uint32(1 << (self._ms_shift - 1))) >> np.uint32(self._ms_shift)
+        return (u & np.uint32(self._two_n - 1)).astype(jnp.int32)
 
-    def _shift_neg(out, s):
+    def _shift_neg(self, out, s):
         """X^s * out for static s in [0, 2N)."""
+        N = self.p.N
         s = s % (2 * N)
         neg, s = (s >= N), s % N
         if s:
@@ -313,9 +316,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
             r = out
         return -r if neg else r
 
-    rot_radix = int(os.environ.get("REDSEC_ROT_RADIX", "2"))
-
-    def rotate(polys, t):
+    def rotate(self, polys, t):
         """X^t * poly (negacyclic) for per-batch exponents t [B] in [0, 2N).
 
         Digit-decomposed static shifts with per-batch selects (radix
@@ -323,32 +324,85 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         chain is ~70% of in-context round time on the current backend
         (ablation numbers in PERFORMANCE.md)."""
         out = polys
-        bits_per = max(1, rot_radix.bit_length() - 1)
+        bits_per = max(1, self._rot_radix.bit_length() - 1)
         k = 0
-        while k < p.log2_2N:
-            nb = min(bits_per, p.log2_2N - k)
+        while k < self.p.log2_2N:
+            nb = min(bits_per, self.p.log2_2N - k)
             d = (t >> k) & ((1 << nb) - 1)
             d = d.reshape(-1, *([1] * (polys.ndim - 1)))
             r = out
             for c in range(1, 1 << nb):
-                r = jnp.where(d == c, _shift_neg(out, c << k), r)
+                r = jnp.where(d == c, self._shift_neg(out, c << k), r)
             out = r
             k += nb
         return out
 
-    dec_shifts = np.array([32 - (j + 1) * bg_bit for j in range(l)], dtype=np.uint32)
-
-    # digits fit int8 whenever Bg <= 2^8: materializing them narrow quarters
-    # the largest intra-round intermediate ([B, rows, N])
-    digit_dtype = jnp.int8 if half_bg <= 127 else jnp.int32
-
-    def decompose(x):
+    def decompose(self, x):
         """TFHE signed gadget decomposition (tGswTorus32PolynomialDecompH):
         x [B, 2, N] torus -> digits [B, rows, N] in [-Bg/2, Bg/2)."""
-        u = x.astype(jnp.uint32) + np.uint32(offset)
-        d = (u[:, :, None, :] >> dec_shifts[None, None, :, None]) & np.uint32(mask_mod)
-        d = d.astype(jnp.int32) - np.int32(half_bg)
-        return d.reshape(x.shape[0], rows, N).astype(digit_dtype)
+        u = x.astype(jnp.uint32) + np.uint32(self._offset)
+        d = (u[:, :, None, :] >> self._dec_shifts[None, None, :, None]) \
+            & np.uint32(self._mask_mod)
+        d = d.astype(jnp.int32) - np.int32(self.p.half_bg)
+        return d.reshape(x.shape[0], self.p.decomp_rows, self.p.N).astype(
+            self._digit_dtype)
+
+    def sample_extract(self, acc):
+        a_poly = acc[:, 0, :]
+        a_ext = jnp.concatenate([a_poly[:, :1], -a_poly[:, :0:-1]], axis=-1)
+        b_ext = acc[:, 1, 0]
+        return a_ext, b_ext
+
+    def ks_digits(self, a_n):
+        """Key-switch digit decomposition: [B, N] -> int8 [B, N*t]."""
+        u = a_n.astype(jnp.uint32) + np.uint32(self._prec_offset)
+        dig = (u[:, :, None] >> self._ks_shifts[None, None, :]) \
+            & np.uint32(self.p.ks_base - 1)
+        return dig.astype(jnp.int8).reshape(a_n.shape[0], -1)
+
+    def key_switch(self, a_n, b_n, ksk_limbs):
+        """Digit-decompose the extracted mask and subtract digit-scaled KSK
+        rows: one [B, N*t] digit matrix x int8-limb-table matmul per limb on
+        the MXU (multiply-form KSK, see keygen.make_keyswitch_key).
+        Accumulation bound: N*t * 7 * 127 < 2^24 — exact in int32."""
+        dig = self.ks_digits(a_n)
+        ssum = None
+        for i in range(4):
+            part = jax.lax.dot_general(
+                dig, ksk_limbs[i],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [B, n+1]
+            part = part << (8 * i) if i else part
+            ssum = part if ssum is None else ssum + part
+        out = -ssum
+        out = out.at[:, self.p.n].add(b_n)
+        return out
+
+
+def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
+    """Build the un-jitted batched PBS implementation:
+    ``impl(bk_ntt, ksk_limbs, ct [B, n+1], testvect [N]|[B, N]) -> [B, n+1]``.
+
+    The evaluation key is threaded as runtime arguments (NOT closure
+    constants): baked-in constants blow up the serialized HLO by the key size
+    (~330 MB), which breaks remote-compile backends and slows compilation.
+    """
+    N, n = p.N, p.n
+    two_n = 2 * N
+    rows = p.decomp_rows
+    half_bg = p.half_bg
+    # In-context stage ablation for profiling (results become WRONG):
+    # REDSEC_ABLATE=rotate|extprod|pointwise|intt|ks — see scripts/
+    # profile_bootstrap.py. Stubs are shape-preserving and fold-resistant so
+    # the remaining stages keep their real cost.
+    ablate = os.environ.get("REDSEC_ABLATE", "")
+
+    primes = plan.primes if plan is not None else ()
+
+    ops = RoundOps(p)
+    mod_switch, rotate, decompose = ops.mod_switch, ops.rotate, ops.decompose
+    sample_extract, key_switch = ops.sample_extract, ops.key_switch
 
     def external_delta_schoolbook(diff, k_round):
         """Exact schoolbook external product as one int8 convolution (for
@@ -554,37 +608,6 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
                 return acc + external_delta(diff, bk_slice(bk_ntt, i))
 
         return jax.lax.fori_loop(0, n, body, acc, unroll=unroll)
-
-    def sample_extract(acc):
-        a_poly = acc[:, 0, :]
-        a_ext = jnp.concatenate([a_poly[:, :1], -a_poly[:, :0:-1]], axis=-1)
-        b_ext = acc[:, 1, 0]
-        return a_ext, b_ext
-
-    ks_shifts = np.array(
-        [32 - (j + 1) * ks_basebit for j in range(ks_t)], dtype=np.uint32
-    )
-
-    def key_switch(a_n, b_n, ksk_limbs):
-        """Digit-decompose the extracted mask and subtract digit-scaled KSK
-        rows: one [B, N*t] digit matrix x int8-limb-table matmul per limb on
-        the MXU (multiply-form KSK, see keygen.make_keyswitch_key).
-        Accumulation bound: N*t * 7 * 127 < 2^24 — exact in int32."""
-        u = a_n.astype(jnp.uint32) + np.uint32(prec_offset)
-        dig = (u[:, :, None] >> ks_shifts[None, None, :]) & np.uint32(ks_base - 1)
-        dig = dig.astype(jnp.int8).reshape(a_n.shape[0], -1)  # [B, N*t]
-        ssum = None
-        for i in range(4):
-            part = jax.lax.dot_general(
-                dig, ksk_limbs[i],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # [B, n+1]
-            part = part << (8 * i) if i else part
-            ssum = part if ssum is None else ssum + part
-        out = -ssum
-        out = out.at[:, n].add(b_n)
-        return out
 
     def bootstrap_impl(bk_ntt, ksk_limbs, ct, testvect):
         abar = mod_switch(ct[:, :n])

@@ -3,7 +3,7 @@
 # NTT flavors, mega-kernel tiles. Run SOLO. Appends to /tmp/tpu_perf.log.
 set -u
 cd "$(dirname "$0")/.."
-log=/tmp/tpu_perf.log
+log=results/tpu_perf_sweep.log
 : > "$log"
 
 run() {
