@@ -295,6 +295,7 @@ class RoundOps:
         # quarters the largest intra-round intermediate ([B, rows, N])
         self._digit_dtype = jnp.int8 if p.half_bg <= 127 else jnp.int32
         self._rot_radix = int(os.environ.get("REDSEC_ROT_RADIX", "2"))
+        self._rot_mode = os.environ.get("REDSEC_ROT_MODE", "select")
         self._ks_shifts = np.array(
             [32 - (j + 1) * p.ks_basebit for j in range(p.ks_t)], dtype=np.uint32
         )
@@ -319,10 +320,17 @@ class RoundOps:
     def rotate(self, polys, t):
         """X^t * poly (negacyclic) for per-batch exponents t [B] in [0, 2N).
 
-        Digit-decomposed static shifts with per-batch selects (radix
-        REDSEC_ROT_RADIX, default 2: log2(2N) stages). The rotate+decompose
-        chain is ~70% of in-context round time on the current backend
-        (ablation numbers in PERFORMANCE.md)."""
+        Two formulations (REDSEC_ROT_MODE):
+        - "select" (default): digit-decomposed static shifts with per-batch
+          selects (radix REDSEC_ROT_RADIX, default 2: log2(2N) stages).
+          Fewer, wider stages (radix 4-16) trade copies for HBM passes.
+        - "gather": one take_along_axis with per-batch source indices and a
+          sign mask — a single pass over the data, if the backend lowers the
+          batched gather well.
+        The rotate+decompose chain is ~70% of in-context round time on the
+        current backend (ablation numbers in PERFORMANCE.md)."""
+        if self._rot_mode == "gather":
+            return self._rotate_gather(polys, t)
         out = polys
         bits_per = max(1, self._rot_radix.bit_length() - 1)
         k = 0
@@ -336,6 +344,20 @@ class RoundOps:
             out = r
             k += nb
         return out
+
+    def _rotate_gather(self, polys, t):
+        """out[..., j] = sign(j-t) * polys[..., (j-t) mod N] in one gather."""
+        N = self.p.N
+        j = jnp.arange(N, dtype=jnp.int32)
+        src = (j[None, :] - t[:, None].astype(jnp.int32)) % np.int32(2 * N)
+        sign = jnp.where(src >= N, np.int32(-1), np.int32(1))  # [B, N]
+        idx = src % np.int32(N)
+        shape = [polys.shape[0]] + [1] * (polys.ndim - 2) + [N]
+        idx = idx.reshape(shape)
+        sign = sign.reshape(shape)
+        out = jnp.take_along_axis(
+            polys, jnp.broadcast_to(idx, polys.shape), axis=-1)
+        return out * sign
 
     def decompose(self, x):
         """TFHE signed gadget decomposition (tGswTorus32PolynomialDecompH):

@@ -20,6 +20,7 @@ per layer and fails loudly when no implementation is valid.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -224,7 +225,17 @@ def resolve_pbs_ranges(
         q = layer.quant
         eff = r.scaled()
         if q.mode == Activation.RELU:
-            r.relu_mode = "quarter" if (eff is not None and eff < quarter) else "full"
+            # REDSEC_RELU_MODE=full forces FDFB everywhere: 3x the relu PBS
+            # cost, but disagreements from mod-switch noise near the
+            # quarter-range seam disappear (relu1024x1: 0.94 -> ~1.0 oracle
+            # agreement, PERFORMANCE.md round-2 table)
+            forced = os.environ.get("REDSEC_RELU_MODE", "")
+            if forced in ("quarter", "full"):
+                r.relu_mode = forced
+            else:
+                r.relu_mode = (
+                    "quarter" if (eff is not None and eff < quarter) else "full"
+                )
         if eff is not None and eff >= half and (
             q.mode == Activation.RELU or q.mode == Activation.SIGN
         ):
