@@ -294,7 +294,10 @@ class RoundOps:
         # digits fit int8 whenever Bg <= 2^8: materializing them narrow
         # quarters the largest intra-round intermediate ([B, rows, N])
         self._digit_dtype = jnp.int8 if p.half_bg <= 127 else jnp.int32
-        self._rot_radix = int(os.environ.get("REDSEC_ROT_RADIX", "2"))
+        # radix 4 measured fastest on the TPU backend (sweep-2,
+        # results/tpu_perf_sweep2.log: 832/s vs 660/s radix-2 same-day);
+        # radix 16 hits a lowering cliff (128/s) — don't go above 8
+        self._rot_radix = int(os.environ.get("REDSEC_ROT_RADIX", "4"))
         self._rot_mode = os.environ.get("REDSEC_ROT_MODE", "select")
         self._ks_shifts = np.array(
             [32 - (j + 1) * p.ks_basebit for j in range(p.ks_t)], dtype=np.uint32

@@ -185,7 +185,14 @@ def make_blind_rotate_kernel(params: TfheParams, plan: NttPlan, tile: int = 64,
         T = acc.shape[0]
         a4 = acc.reshape(T, 2, R, 128)
         rot = a4
-        tcol = abar_ref[:]  # [T, 1]
+        # abar block is the full [T, n] row (Pallas requires the trailing
+        # block dims to be (8,128)-divisible or whole); select round j's
+        # column with a masked reduction — lane-dynamic slices may not lower
+        ncols = abar_ref.shape[1]
+        colmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1) == j
+        ).astype(jnp.int32)
+        tcol = (abar_ref[:] * colmask).sum(axis=1, keepdims=True)  # [T, 1]
         for k in range(log2_2n):
             rx = _rot_pow2(rot, k)
             bit = ((tcol >> k) & 1).reshape(T, 1, 1, 1) != 0
@@ -239,7 +246,7 @@ def make_blind_rotate_kernel(params: TfheParams, plan: NttPlan, tile: int = 64,
             out_shape=jax.ShapeDtypeStruct((acc0.shape[0], 2, N), jnp.int32),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tile, 1), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, 2, N), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((P, 1, rows, 2 * BK_LIMBS, N), lambda i, j: (0, j, 0, 0, 0),
                              memory_space=pltpu.VMEM),

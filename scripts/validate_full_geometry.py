@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Full-geometry validation of the medium/large parameter sets (VERDICT r1
+weak #8: "full-n medium/large bootstraps have never run anywhere").
+
+Runs REAL-noise keygen at the reference's exact medium (n=3072, N=4096) or
+large (n=6144, N=8192) recipe (client/gen_secure_keyset.cpp:9-45), bootstraps
+a batch through the native C++ engine (the 64-bit-Barrett CRT-NTT path that
+serves these sets), decrypts, and checks sign correctness plus the output
+noise against the parameter set's analytic budget.
+
+Usage: python scripts/validate_full_geometry.py [--set medium] [--count 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--set", default="medium", choices=["medium", "large"])
+    ap.add_argument("--count", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from redsec_tpu import native
+    from redsec_tpu.crypto import bootstrap as bs
+    from redsec_tpu.crypto import keygen as kg
+    from redsec_tpu.crypto import lwe
+    from redsec_tpu.crypto.params import get_params
+
+    if not native.available():
+        print("native engine unavailable"); return 1
+    p = get_params(args.set)
+    print(f"params {p.name}: n={p.n} N={p.N} Bg=2^{p.bg_bit} l={p.l} "
+          f"ks {p.ks_basebit}x{p.ks_t} msg_space={p.msg_space}")
+
+    t0 = time.time()
+    sk, cloud = kg.keygen(p, seed=args.seed)
+    print(f"[{time.time()-t0:7.1f}s] keygen done "
+          f"(BK {cloud.bk.nbytes/1e6:.0f} MB, KSK {cloud.ksk.nbytes/1e6:.0f} MB)")
+
+    eng = native.NativeEngine(cloud)
+    print(f"[{time.time()-t0:7.1f}s] native engine key prepared")
+
+    rng = np.random.default_rng(args.seed + 1)
+    qspace = p.msg_space // 4
+    vals = rng.integers(-qspace, qspace, size=args.count)
+    vals[0], vals[1] = 37, -414  # pin a couple of known points
+    ct = lwe.encrypt_integers(sk.lwe_key, vals, p, rng)
+    tv = bs.const_test_vector(p, 1, p.msg_space)
+
+    t1 = time.time()
+    out = eng.bootstrap(ct, tv)
+    dt = time.time() - t1
+    print(f"[{time.time()-t0:7.1f}s] {args.count} full-n bootstraps in "
+          f"{dt:.1f}s ({args.count/dt:.2f}/s single-core C++)")
+
+    dec = lwe.decrypt_integers(sk.lwe_key, out, p)
+    want = np.where(vals >= 0, 1, -1)
+    ok = (dec == want).all()
+    print(f"signs: got {dec.tolist()} want {want.tolist()} -> "
+          f"{'EXACT' if ok else 'MISMATCH'}")
+    # phase-noise report: distance of each decrypted torus phase from ±mu
+    mu = int(lwe.mod_switch_to_torus32(np.array([1]), p.msg_space)[0])
+    phase = lwe.lwe_phase(sk.lwe_key, out).astype(np.int64)
+    err = np.abs((phase - want * mu).astype(np.int32).astype(np.int64))
+    slots = err.astype(np.float64) / (2**32 / p.msg_space)
+    print(f"output noise: max {slots.max():.3f} message slots "
+          f"(budget: < 0.5 slot for exact decode)")
+    print("RESULT", {"set": p.name, "count": args.count, "signs_exact": bool(ok),
+                     "max_noise_slots": round(float(slots.max()), 4),
+                     "boots_per_s": round(args.count / dt, 3)})
+    return 0 if ok else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
