@@ -81,8 +81,13 @@ def _bootstrap_plan(p: TfheParams) -> ntt_mod.NttPlan | None:
     if os.environ.get("REDSEC_FORCE_SCHOOLBOOK", "0") != "0":
         return None
     try:
+        # accum = 3*rows covers BOTH the plain external product (rows
+        # accumulated rows) and the 2-bit bundled blind rotation (3 TGSW
+        # entries per pair round); sign-balanced BK limbs halve the bound so
+        # the same 2-prime plan still covers every shipped N=1024/2048 set.
         return ntt_mod.make_plan(
-            p.N, max_operand=p.half_bg, limb_bits=BK_LIMB_BITS, accum=p.decomp_rows
+            p.N, max_operand=p.half_bg, limb_bits=BK_LIMB_BITS,
+            accum=3 * p.decomp_rows, balanced=True,
         )
     except ValueError:
         return None
@@ -196,16 +201,16 @@ def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
 
     @jax.jit
     def transform_chunk(bk):
-        u = bk.astype(jnp.uint32)
-        limbs = jnp.stack(
-            [((u >> np.uint32(BK_LIMB_BITS * i)) & np.uint32((1 << BK_LIMB_BITS) - 1)).astype(jnp.int32)
-             for i in range(BK_LIMBS)],
-            axis=3,
-        )  # [chunk, rows, 2, limbs, N]
-        return tuple(
-            _fwd_ntt(limbs, plan, pi).astype(jnp.uint16)
-            for pi in range(len(plan.primes))
-        )
+        # sign-balanced int8 limbs (|limb| <= 128): halves the exact
+        # convolution bound vs unsigned masks, which is what keeps the
+        # bundled 3*rows accumulation inside the 2-prime CRT range
+        limbs = jnp.stack(_int8_limbs_device(bk), axis=3).astype(jnp.int32)
+        # [chunk, rows, 2, limbs, N]
+        out = []
+        for pi, prime in enumerate(plan.primes):
+            lmod = limbs + np.int32(prime) * (limbs < 0).astype(jnp.int32)
+            out.append(_fwd_ntt(lmod, plan, pi).astype(jnp.uint16))
+        return tuple(out)
 
     parts = [[] for _ in plan.primes]
     for i0 in range(0, p.n, chunk):

@@ -60,15 +60,21 @@ def _primitive_root(p: int) -> int:
     raise ValueError(f"no primitive root for {p}")
 
 
-def primes_for(N: int, max_operand: int, limb_bits: int, accum: int = 1) -> Tuple[int, ...]:
+def primes_for(N: int, max_operand: int, limb_bits: int, accum: int = 1,
+               balanced: bool = False) -> Tuple[int, ...]:
     """Choose the minimal prime set whose product covers the exact convolution.
 
     A SUM of ``accum`` digit-poly x limb-poly products (the TGSW external
     product accumulates all (k+1)*l rows in the NTT domain before leaving it)
-    has coefficients bounded by ``accum * N * max_operand * (2^limb_bits-1)``
+    has coefficients bounded by ``accum * N * max_operand * limb_max``
     in absolute value; the CRT modulus must exceed twice that (signed range).
+    ``balanced`` limbs (sign-balanced int8, |limb| <= 2^(limb_bits-1)) halve
+    the bound vs unsigned limbs — that headroom is what lets the 2-bit
+    bundled blind rotation accumulate 3*rows products in the same 2-prime
+    plan (bootstrap.prepare_cloud_key).
     """
-    bound = 2 * accum * N * max_operand * ((1 << limb_bits) - 1)
+    limb_max = (1 << (limb_bits - 1)) if balanced else ((1 << limb_bits) - 1)
+    bound = 2 * accum * N * max_operand * limb_max
     usable = [p for p in _CANDIDATE_PRIMES if (p - 1) % (2 * N) == 0]
     prod, chosen = 1, []
     for p in usable:
@@ -99,8 +105,9 @@ class NttPlan:
 
 
 @functools.lru_cache(maxsize=None)
-def make_plan(N: int, max_operand: int, limb_bits: int = 16, accum: int = 1) -> NttPlan:
-    primes = primes_for(N, max_operand, limb_bits, accum)
+def make_plan(N: int, max_operand: int, limb_bits: int = 16, accum: int = 1,
+              balanced: bool = False) -> NttPlan:
+    primes = primes_for(N, max_operand, limb_bits, accum, balanced)
     stages = N.bit_length() - 1
     twist, untwist, fwd_tabs, inv_tabs = [], [], [], []
     for p in primes:

@@ -111,6 +111,19 @@ SMALL_V2_N2048 = _p("small_v2_n2048", n=350, N=2048, bg_bit=3, l=10,
 SMALL_V2_TPU = _p("small_v2_tpu", n=350, N=1024, bg_bit=5, l=6,
                   ks_basebit=3, ks_t=9, alpha_ks=2.0**-25, alpha_bk=2.0**-30)
 
+# Second TPU-native performance step: Bg=2^6 x l=5 (10 decomposition rows,
+# 30-bit gadget precision — same precision as small_v2/small_v2_tpu).
+# Security is again identical to small_v2 (same n, N, noise rates).
+# Measured per-bootstrap output noise: ~0.12 slots sigma (empirically
+# asserted in tests/test_params_tpu.py) — over the deepest shipped fan-in
+# (1024-wide FC sums) that accumulates to ~3.7 slots, a +11% quadrature
+# bump over the ~7.6-slot mod-switch noise that dominates every n=350 set.
+# Wider-base candidates were measured and rejected: Bg=2^6 x l=4 (8 rows,
+# 24-bit precision) and Bg=2^7 x l=4 both exceed 0.23 slots sigma, which
+# DOUBLES effective noise over 1024-wide fan-ins.  Digits fit int8.
+SMALL_V2_TPU2 = _p("small_v2_tpu2", n=350, N=1024, bg_bit=6, l=5,
+                   ks_basebit=3, ks_t=9, alpha_ks=2.0**-25, alpha_bk=2.0**-30)
+
 # Deterministic zero-noise set for bit-exact pipeline tests: same geometry
 # ratios as small_v2 (msg_space = 2 * 2N, i.e. 2 message units per rotation
 # slot) but tiny, so encrypted results match the plaintext oracle up to the
@@ -126,8 +139,8 @@ SMALL_V2_NOISELESS = _p("small_v2_noiseless", n=350, N=1024, bg_bit=3, l=10,
 
 PARAM_SETS = {
     p.name: p
-    for p in (SMALL_V2, SMALL_V2_N2048, SMALL_V2_TPU, SMALL, MEDIUM, LARGE,
-              TEST_NOISELESS, SMALL_V2_NOISELESS)
+    for p in (SMALL_V2, SMALL_V2_N2048, SMALL_V2_TPU, SMALL_V2_TPU2,
+              SMALL, MEDIUM, LARGE, TEST_NOISELESS, SMALL_V2_NOISELESS)
 }
 
 
