@@ -59,7 +59,8 @@ def measure_point(params_name: str, batch: int, iters: int):
     from redsec_tpu.formats.keys import ensure_keyset
 
     params = get_params(params_name)
-    sk, dkey = ensure_keyset(params_name, seed=0)
+    bundle = int(os.environ.get("REDSEC_BUNDLE", "1"))
+    sk, dkey = ensure_keyset(params_name, seed=0, bundle=bundle)
     unroll = int(os.environ.get("REDSEC_UNROLL", "1"))
     pbs = bs.make_batched_bootstrap(dkey, unroll)
 

@@ -55,6 +55,10 @@ class DeviceCloudKey:
     # "matmul" four-step, or "schoolbook" raw limbs). The digit transform at
     # bootstrap time MUST use the same ordering; binding asserts agreement.
     ntt_flavor: str = "radix2"
+    # 2 when the key carries interleaved pair entries for the 2-bit bundled
+    # blind rotation (bk_ntt per prime: [n/2, 3*rows, 2, limbs, N] packing
+    # TGSW(s_2p), TGSW(s_2p+1), TGSW(s_2p*s_2p+1) row blocks); 1 otherwise.
+    bundle: int = 1
 
 
 def _int8_limbs_np(x: np.ndarray):
@@ -119,6 +123,10 @@ def _key_material(dkey: "DeviceCloudKey"):
             f"prepare_cloud_key under the same REDSEC_NTT setting"
         )
     if _use_blind_kernel(p, plan):
+        if dkey.bundle != 1:
+            raise ValueError(
+                "REDSEC_BLIND_KERNEL does not support bundled keys; prepare "
+                "an unbundled key or unset the flag")
         from . import pallas_blind
 
         return pallas_blind.pack_bk_int16(dkey.bk_ntt)
@@ -197,7 +205,19 @@ def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
     plan = _bootstrap_plan(p)
     if plan is None:
         return _prepare_cloud_key_schoolbook(cloud, chunk)
-    bk_dev = jnp.asarray(cloud.bk.astype(np.int32))  # [n, rows, 2, N]
+    bundle = 1
+    bk_host = cloud.bk
+    if cloud.bk_pair is not None:
+        # interleave per pair: [bk(s_2p) rows | bk(s_2p+1) rows | bk(pair)]
+        # so one dynamic round slice feeds all three external products of a
+        # bundled CMUX round as a single 3*rows contraction
+        rows_, n2 = p.decomp_rows, p.n // 2
+        bk_host = np.concatenate(
+            [cloud.bk.reshape(n2, 2, rows_, 2, p.N),
+             cloud.bk_pair[:, None]], axis=1,
+        ).reshape(n2, 3 * rows_, 2, p.N)
+        bundle = 2
+    bk_dev = jnp.asarray(bk_host.astype(np.int32))  # [n(/2), (3*)rows, 2, N]
 
     @jax.jit
     def transform_chunk(bk):
@@ -213,7 +233,7 @@ def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
         return tuple(out)
 
     parts = [[] for _ in plan.primes]
-    for i0 in range(0, p.n, chunk):
+    for i0 in range(0, bk_dev.shape[0], chunk):
         res = transform_chunk(bk_dev[i0 : i0 + chunk])
         for pi, r in enumerate(res):
             parts[pi].append(r)
@@ -224,6 +244,7 @@ def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
     return DeviceCloudKey(
         params=p, plan=plan, bk_ntt=tuple(bk_ntt), ksk_limbs=ksk_limbs,
         ntt_flavor="matmul" if _use_matmul_ntt(p.N) else "radix2",
+        bundle=bundle,
     )
 
 
@@ -410,13 +431,22 @@ class RoundOps:
         return out
 
 
-def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
+def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1,
+                        bundle: int = 1):
     """Build the un-jitted batched PBS implementation:
     ``impl(bk_ntt, ksk_limbs, ct [B, n+1], testvect [N]|[B, N]) -> [B, n+1]``.
 
     The evaluation key is threaded as runtime arguments (NOT closure
     constants): baked-in constants blow up the serialized HLO by the key size
     (~330 MB), which breaks remote-compile backends and slows compilation.
+
+    ``bundle=2`` evaluates the 2-bit bundled blind rotation (requires a key
+    prepared from ``keygen(..., bundle=2)``; see DeviceCloudKey.bundle): n/2
+    CMUX rounds, each applying X^(a_i*s_i + a_j*s_j) via the expansion
+    acc + BK_i . D(u) + BK_j . D(v) + BK_ij . D(w) with u = rot(acc,a_i)-acc,
+    v = rot(acc,a_j)-acc, w = rot(u,a_j)-u — 1.5x the rotate/NTT/pointwise
+    work of two plain rounds, but HALF the sequential rounds, inverse NTTs,
+    CRT recombinations and accumulator carries.
     """
     N, n = p.N, p.n
     two_n = 2 * N
@@ -427,6 +457,14 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     # profile_bootstrap.py. Stubs are shape-preserving and fold-resistant so
     # the remaining stages keep their real cost.
     ablate = os.environ.get("REDSEC_ABLATE", "")
+
+    if bundle == 2:
+        if plan is None:
+            raise ValueError(
+                "bundle=2 requires an NTT plan (the conv-schoolbook path for "
+                "medium/large parameter sets runs unbundled)")
+        if n % 2:
+            raise ValueError(f"bundle=2 needs even n, got {n}")
 
     primes = plan.primes if plan is not None else ()
 
@@ -484,7 +522,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     # Whole-blind-rotation mega-kernel (pallas_blind.py): all n rounds in one
     # pallas_call, accumulator VMEM-resident, BK streamed as int16 slices.
     blind_kernel = None
-    if _use_blind_kernel(p, plan):
+    if bundle == 1 and _use_blind_kernel(p, plan):
         from . import pallas_blind
 
         blind_kernel = pallas_blind.make_blind_rotate_kernel(
@@ -500,6 +538,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     _rk_env = os.environ.get("REDSEC_ROUND_KERNEL", "0")
     use_round_kernel = (
         _rk_env != "0"
+        and bundle == 1
         and plan is not None
         and _use_matmul_ntt(p.N)  # kernel tables use the four-step ordering
         and len(plan.primes) == 2
@@ -522,10 +561,11 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         """sum_j dn[b, j, n] * bk[j, o, l, n] mod p, elementwise with lazy
         int32 accumulation — keeps N in the minor (lane) dimension throughout;
         XLA fuses the multiply into the row reduction."""
+        n_rows = dn.shape[1]
         group = max(1, (2**31 - 1) // ((prime - 1) ** 2))
         partials = None
-        for g0 in range(0, rows, group):
-            g1 = min(g0 + group, rows)
+        for g0 in range(0, n_rows, group):
+            g1 = min(g0 + group, n_rows)
             raw = (
                 dn[:, g0:g1, None, None, :] * bki[None, g0:g1, :, :, :]
             ).sum(axis=1)  # [B, 2, limbs, N] < group * p^2 <= int32
@@ -536,7 +576,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
     def _pointwise_rows_gemm(dn, bki, prime):
         """Same contraction as N-batched bf16 matmuls (MXU); pays N-major
         transposes — only wins when rows is large."""
-        bk_flat = bki.reshape(rows, 2 * BK_LIMBS, N)
+        bk_flat = bki.reshape(dn.shape[1], 2 * BK_LIMBS, N)
 
         def bmm(l, r):
             out = jax.lax.dot_general(
@@ -559,11 +599,12 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
         s = jnp.transpose(s, (1, 2, 0))  # [B, 2*limbs, N]
         return s.reshape(-1, 2, BK_LIMBS, N)
 
-    def external_delta(diff, bk_round):
-        """TGSW external product: decomp(diff) x BK_i -> torus delta [B, 2, N].
+    def external_delta(digits, bk_round):
+        """TGSW external product: digits [B, R, N] x BK rows -> torus delta
+        [B, 2, N].  R = rows for a plain round, 3*rows for a bundled round
+        (the contraction over R sums all three TGSW products at once).
         digits stay int8 across the fusion boundary (4x smaller shared
         intermediate); each prime branch widens inside its own fusion."""
-        digits = decompose(diff)
         if round_kernel is not None:
             digits = digits.astype(jnp.int32)
             bk_i32 = jnp.stack(
@@ -620,6 +661,25 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
                 for bk in bk_ntt
             )
 
+        if bundle == 2:
+            def body(i, acc):
+                B = acc.shape[0]
+                a2 = jax.lax.dynamic_slice_in_dim(abar, 2 * i, 2, axis=1)
+                ai, aj = a2[:, 0], a2[:, 1]
+                # rot(acc, a_i) and rot(acc, a_j) in one doubled-batch rotate
+                both = rotate(
+                    jnp.concatenate([acc, acc], axis=0),
+                    jnp.concatenate([ai, aj], axis=0),
+                )
+                u = both[:B] - acc          # (X^ai - 1) acc
+                v = both[B:] - acc          # (X^aj - 1) acc
+                w = rotate(u, aj) - u       # (X^ai - 1)(X^aj - 1) acc
+                diffs = jnp.stack([u, v, w], axis=1).reshape(3 * B, 2, N)
+                digits = decompose(diffs).reshape(B, 3 * rows, N)
+                return acc + external_delta(digits, bk_slice(bk_ntt, i))
+
+            return jax.lax.fori_loop(0, n // 2, body, acc, unroll=unroll)
+
         if full_round is not None:
             def body(i, acc):
                 bk_i32 = jnp.stack(
@@ -635,7 +695,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
                 if ablate == "extprod":
                     digits = decompose(diff)
                     return acc + digits[:, :2, :].astype(jnp.int32)
-                return acc + external_delta(diff, bk_slice(bk_ntt, i))
+                return acc + external_delta(decompose(diff), bk_slice(bk_ntt, i))
 
         return jax.lax.fori_loop(0, n, body, acc, unroll=unroll)
 
@@ -657,7 +717,8 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1):
 def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
     """Jitted batched PBS bound to a device key:
     ``(ct [B, n+1], testvect [N]|[B, N]) -> [B, n+1]``."""
-    impl = make_bootstrap_impl(dkey.params, dkey.plan, unroll)
+    impl = make_bootstrap_impl(dkey.params, dkey.plan, unroll,
+                               bundle=dkey.bundle)
     jitted = jax.jit(impl)
     key_arg = _key_material(dkey)
 
@@ -668,12 +729,13 @@ def make_batched_bootstrap(dkey: DeviceCloudKey, unroll: int = 1):
     return bootstrap
 
 
-def make_chunked_impl(p: TfheParams, plan: ntt_mod.NttPlan, chunk: int = 512):
+def make_chunked_impl(p: TfheParams, plan: ntt_mod.NttPlan, chunk: int = 512,
+                      bundle: int = 1):
     """Un-jitted chunked PBS: batches larger than ``chunk`` run as a
     ``lax.map`` over fixed-size slices (one compiled body, sequential) so
     arbitrarily large activation tensors — e.g. cifar/binarynet's 131k sign
     bootstraps in one layer — fit in HBM."""
-    impl = make_bootstrap_impl(p, plan)
+    impl = make_bootstrap_impl(p, plan, bundle=bundle)
     N = p.N
 
     def run(bk_ntt, ksk_limbs, ct, testvect):
@@ -699,7 +761,7 @@ def make_chunked_impl(p: TfheParams, plan: ntt_mod.NttPlan, chunk: int = 512):
 
 def make_chunked_bootstrap(dkey: DeviceCloudKey, chunk: int = 512):
     """Chunked PBS bound to a device key (jitted per batch shape)."""
-    impl = make_chunked_impl(dkey.params, dkey.plan, chunk)
+    impl = make_chunked_impl(dkey.params, dkey.plan, chunk, bundle=dkey.bundle)
     jitted = jax.jit(impl)
     key_arg = _key_material(dkey)
 

@@ -45,6 +45,14 @@ class CloudKey:
     params: TfheParams
     bk: np.ndarray  # int32 [n, (k+1)l, k+1, N] — TGSW(s_i) coefficient domain
     ksk: np.ndarray  # int32 [N, t, n+1] (multiply-form, v=1 plane)
+    # Optional 2-bit-bundled blind-rotation extension: TGSW(s_{2p} * s_{2p+1})
+    # for each of the n/2 adjacent key-bit pairs ([n/2, (k+1)l, k+1, N]).
+    # Halves the number of sequential CMUX rounds (the latency-bound part of
+    # the bootstrap) at +50% evaluation-key size; produced by
+    # ``keygen(..., bundle=2)``.  The TPU-native analogue of trading HBM for
+    # fewer dependent loop stages; no reference counterpart (its TFHE backend
+    # is fixed at one key bit per round).
+    bk_pair: np.ndarray | None = None
 
 
 def negacyclic_mul_binary_host(a: np.ndarray, key: np.ndarray, N: int) -> np.ndarray:
@@ -90,7 +98,10 @@ def make_bootstrap_key(
     params: TfheParams, lwe_key: np.ndarray, rlwe_key: np.ndarray,
     rng: np.random.Generator,
 ) -> np.ndarray:
-    n, N, l, k = params.n, params.N, params.l, params.k
+    """TGSW encryptions of the given bit vector (``lwe_key`` for the standard
+    BK; pair products s_{2p}*s_{2p+1} for the bundled extension)."""
+    N, l, k = params.N, params.l, params.k
+    n = int(lwe_key.shape[0])
     assert k == 1
     rows = params.decomp_rows
     # TLWE encryptions of zero: uniform a, b = a*K + e
@@ -135,12 +146,25 @@ def make_keyswitch_key(
     return np.concatenate([a, b[..., None]], axis=-1)
 
 
-def keygen(params: TfheParams, seed: int = 0):
+def keygen(params: TfheParams, seed: int = 0, bundle: int = 1):
     """Generate (SecretKey, CloudKey) — the analogue of ``make keygen``
-    (client/gen_secure_keyset.cpp:94-115, fixed seed there too)."""
+    (client/gen_secure_keyset.cpp:94-115, fixed seed there too).
+
+    ``bundle=2`` additionally emits TGSW(s_{2p} * s_{2p+1}) pair entries
+    (CloudKey.bk_pair) enabling the 2-bit bundled blind rotation.  The pair
+    draws happen AFTER the standard material, so the base keys under a given
+    seed are identical with or without bundling."""
     rng = np.random.default_rng(seed)
     lwe_key = lwe_key_gen(rng, params.n)
     rlwe_key = lwe_key_gen(rng, params.N)
     bk = make_bootstrap_key(params, lwe_key, rlwe_key, rng)
     ksk = make_keyswitch_key(params, rlwe_key, lwe_key, rng)
-    return SecretKey(params, lwe_key, rlwe_key), CloudKey(params, bk, ksk)
+    bk_pair = None
+    if bundle == 2:
+        if params.n % 2:
+            raise ValueError(f"bundle=2 needs even n, got {params.n}")
+        pair_bits = (lwe_key[0::2] * lwe_key[1::2]).astype(lwe_key.dtype)
+        bk_pair = make_bootstrap_key(params, pair_bits, rlwe_key, rng)
+    elif bundle != 1:
+        raise ValueError(f"unsupported bundle factor {bundle}")
+    return SecretKey(params, lwe_key, rlwe_key), CloudKey(params, bk, ksk, bk_pair)

@@ -34,13 +34,16 @@ def load_secret_key(path: str) -> SecretKey:
 
 
 def save_cloud_key(path: str, ck: CloudKey) -> None:
-    np.savez(path, version=FORMAT_VERSION, params=ck.params.name, bk=ck.bk, ksk=ck.ksk)
+    extra = {} if ck.bk_pair is None else {"bk_pair": ck.bk_pair}
+    np.savez(path, version=FORMAT_VERSION, params=ck.params.name, bk=ck.bk,
+             ksk=ck.ksk, **extra)
 
 
 def load_cloud_key(path: str) -> CloudKey:
     d = np.load(path, allow_pickle=False)
     params = get_params(str(d["params"]))
-    return CloudKey(params, d["bk"], d["ksk"])
+    pair = d["bk_pair"] if "bk_pair" in d else None
+    return CloudKey(params, d["bk"], d["ksk"], pair)
 
 
 def save_ciphertexts(path: str, ct: np.ndarray, params: TfheParams, label=None,
@@ -71,7 +74,8 @@ def save_prepared_key(path: str, dkey) -> None:
     arrs = {f"bk_ntt_{i}": np.asarray(b) for i, b in enumerate(dkey.bk_ntt)}
     np.savez(
         path, version=FORMAT_VERSION, params=dkey.params.name,
-        nprimes=len(dkey.bk_ntt), ksk_limbs=np.asarray(dkey.ksk_limbs), **arrs,
+        nprimes=len(dkey.bk_ntt), ksk_limbs=np.asarray(dkey.ksk_limbs),
+        ntt_flavor=dkey.ntt_flavor, bundle=dkey.bundle, balanced_limbs=1, **arrs,
     )
 
 
@@ -92,8 +96,14 @@ def load_prepared_key(path: str):
     from ..crypto.bootstrap import BK_LIMBS
     if d["bk_ntt_0"].shape[3] != BK_LIMBS:
         raise ValueError("stale prepared-key cache (BK limb layout changed); regenerate")
+    if "balanced_limbs" not in d:
+        raise ValueError(
+            "stale prepared-key cache (pre-balanced-limb format); regenerate")
     return DeviceCloudKey(
-        params=params, plan=plan, bk_ntt=bk_ntt, ksk_limbs=jnp.asarray(d["ksk_limbs"])
+        params=params, plan=plan, bk_ntt=bk_ntt,
+        ksk_limbs=jnp.asarray(d["ksk_limbs"]),
+        ntt_flavor=str(d["ntt_flavor"]) if "ntt_flavor" in d else "radix2",
+        bundle=int(d["bundle"]) if "bundle" in d else 1,
     )
 
 
@@ -103,18 +113,22 @@ def keyset_dir(base: str | None = None) -> str:
     return d
 
 
-def ensure_keyset(params_name: str = "small_v2", seed: int = 0, base: str | None = None):
+def ensure_keyset(params_name: str = "small_v2", seed: int = 0,
+                  base: str | None = None, bundle: int = 1):
     """Generate-or-load a cached keyset; returns (SecretKey, DeviceCloudKey).
 
     Only the RAW keys are cached on disk; the NTT-domain transform always
     runs on-device from the (4x smaller) coefficient-domain key — on tunneled
     devices, shipping the prepared key is strictly slower than re-deriving it.
+
+    ``bundle=2``: keyset with pair entries for the 2-bit bundled blind
+    rotation (cached under its own tag).
     """
     from ..crypto import bootstrap as bs
     from ..crypto import keygen as kg
 
     d = keyset_dir(base)
-    tag = f"{params_name}_s{seed}"
+    tag = f"{params_name}_s{seed}" + ("" if bundle == 1 else f"_b{bundle}")
     sk_path = os.path.join(d, f"secret_{tag}.npz")
     ck_path = os.path.join(d, f"cloud_{tag}.npz")
     if os.path.exists(sk_path) and os.path.exists(ck_path):
@@ -122,7 +136,7 @@ def ensure_keyset(params_name: str = "small_v2", seed: int = 0, base: str | None
         cloud = load_cloud_key(ck_path)
     else:
         params = get_params(params_name)
-        sk, cloud = kg.keygen(params, seed=seed)
+        sk, cloud = kg.keygen(params, seed=seed, bundle=bundle)
         save_secret_key(sk_path, sk)
         save_cloud_key(ck_path, cloud)
     return sk, bs.prepare_cloud_key(cloud)

@@ -106,7 +106,7 @@ def fc_sign_tp(x_ct: jax.Array, weights: np.ndarray, bias: np.ndarray,
     from ..ops.encrypted import ternary_matmul_ct
 
     params = dkey.params
-    pbs_impl = make_bootstrap_impl(params, dkey.plan)
+    pbs_impl = make_bootstrap_impl(params, dkey.plan, bundle=dkey.bundle)
     tp = mesh.shape["tp"]
     O = weights.shape[1]
     assert O % tp == 0, (O, tp)
@@ -258,7 +258,8 @@ def build_tp_encrypted_forward(model, dkey, mesh: Mesh, pbs_chunk: int = 512):
     params = dkey.params
     tp = mesh.shape["tp"]
     msize = params.msg_space
-    pbs_impl = make_chunked_impl(params, dkey.plan, chunk=pbs_chunk)
+    pbs_impl = make_chunked_impl(params, dkey.plan, chunk=pbs_chunk,
+                                 bundle=dkey.bundle)
     layers, info = _plan_tp_layers(model, params, tp)
 
     def conv_local(cv, x, wts):

@@ -167,6 +167,9 @@ def shard_cloud_key_poly(dkey: DeviceCloudKey, mesh: Mesh,
             f"poly sharding needs a four-step-ordered key (flavor 'matmul'); "
             f"this key is {dkey.ntt_flavor!r} — re-run prepare_cloud_key "
             f"under REDSEC_NTT=matmul")
+    if dkey.bundle != 1:
+        raise ValueError("poly sharding does not support bundled (bundle=2) "
+                         "keys yet; prepare an unbundled key")
     sp = _axis_size(mesh, axis)
     if not poly_shard_viable(dkey.params.N, sp):
         raise ValueError(f"N={dkey.params.N} cannot shard over {sp} devices")

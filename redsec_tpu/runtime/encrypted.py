@@ -60,13 +60,13 @@ def _run_layer_ops(layer, x, pbs_fn, params, r):
 
 
 def build_layer_impls(model: ModelPlan, params, plan, pbs_chunk: int = 512,
-                      info=None):
+                      info=None, bundle: int = 1):
     """Per-layer un-jitted forwards ``impl(bk_ntt, ksk_limbs, x) -> x'``.
     The caller is responsible for the final reshape to [B, classes, n+1].
     Lets callers jit layer-by-layer: large nets (CIFAR) as a single
     whole-model HLO can exceed what a remote compile service accepts.
     """
-    pbs_impl = make_chunked_impl(params, plan, chunk=pbs_chunk)
+    pbs_impl = make_chunked_impl(params, plan, chunk=pbs_chunk, bundle=bundle)
     if info is None:
         info = _resolve_info(model, params)
 
@@ -83,7 +83,8 @@ def build_layer_impls(model: ModelPlan, params, plan, pbs_chunk: int = 512,
 
 
 def build_forward_impl(
-    model: ModelPlan, params, plan, pbs_chunk: int = 512, info=None
+    model: ModelPlan, params, plan, pbs_chunk: int = 512, info=None,
+    bundle: int = 1,
 ) -> Callable:
     """Un-jitted encrypted forward taking the evaluation key as arguments:
     ``impl(bk_ntt, ksk_limbs, x [B,H,W,C,n+1]) -> [B, classes, n+1]``.
@@ -91,7 +92,7 @@ def build_forward_impl(
     Keys must be runtime arguments, not closure constants — constants embed
     the ~330 MB key into the serialized HLO (see crypto/bootstrap.py).
     """
-    pbs_impl = make_chunked_impl(params, plan, chunk=pbs_chunk)
+    pbs_impl = make_chunked_impl(params, plan, chunk=pbs_chunk, bundle=bundle)
     if info is None:
         info = _resolve_info(model, params)
 
@@ -126,7 +127,8 @@ def build_staged_forward(
     if info is None:
         info = _resolve_info(model, params)
     key_arg = _key_material(dkey)
-    pbs_impl = jax.jit(make_chunked_impl(params, plan, chunk=pbs_chunk))
+    pbs_impl = jax.jit(
+        make_chunked_impl(params, plan, chunk=pbs_chunk, bundle=dkey.bundle))
 
     def pbs_host(ct, tv):
         m = ct.shape[0]
@@ -232,7 +234,8 @@ def build_encrypted_forward(
     from ..crypto.bootstrap import _key_material
 
     info = _resolve_info(model, dkey.params, range_check)
-    impl = build_forward_impl(model, dkey.params, dkey.plan, pbs_chunk, info)
+    impl = build_forward_impl(model, dkey.params, dkey.plan, pbs_chunk, info,
+                              bundle=dkey.bundle)
 
     from ..utils.metrics import summarize
 
@@ -274,7 +277,7 @@ def build_encrypted_forward(
     if jit == "layer":
         layer_fns = [jax.jit(f) for f in
                      build_layer_impls(model, dkey.params, dkey.plan, pbs_chunk,
-                                       info)]
+                                       info, bundle=dkey.bundle)]
 
         def forward(x: jax.Array) -> jax.Array:
             _guard_batch(x.shape[0], per_image["biggest"], "per-layer")
