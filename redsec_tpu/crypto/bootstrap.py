@@ -78,20 +78,24 @@ BK_LIMB_BITS = 8  # 4 x 8-bit limbs: keeps the row-accumulated external
 BK_LIMBS = 32 // BK_LIMB_BITS
 
 
-def _bootstrap_plan(p: TfheParams) -> ntt_mod.NttPlan | None:
+def _bootstrap_plan(p: TfheParams, bundled: bool = False) -> ntt_mod.NttPlan | None:
     """NTT plan for the parameter set, or None when no int32-range NTT primes
     exist for N (>= 4096) — those sets use the exact conv-schoolbook external
-    product instead (REDSEC_FORCE_SCHOOLBOOK=1 forces it everywhere)."""
+    product instead (REDSEC_FORCE_SCHOOLBOOK=1 forces it everywhere).
+
+    The CRT range bound depends on how many products are accumulated in the
+    NTT domain before leaving it: ``rows`` for the plain external product,
+    ``3*rows`` for a 2-bit bundled CMUX round (three TGSW contractions summed
+    at once).  Sign-balanced BK limbs halve the bound; with them the 2-prime
+    plan covers every shipped N=1024/2048 set unbundled, and all but
+    small_v2_tpu2 bundled (bundled tpu2's bound 2*30*1024*32*128 exceeds the
+    12289*18433 product, so it genuinely needs a third prime)."""
     if os.environ.get("REDSEC_FORCE_SCHOOLBOOK", "0") != "0":
         return None
     try:
-        # accum = 3*rows covers BOTH the plain external product (rows
-        # accumulated rows) and the 2-bit bundled blind rotation (3 TGSW
-        # entries per pair round); sign-balanced BK limbs halve the bound so
-        # the same 2-prime plan still covers every shipped N=1024/2048 set.
         return ntt_mod.make_plan(
             p.N, max_operand=p.half_bg, limb_bits=BK_LIMB_BITS,
-            accum=3 * p.decomp_rows, balanced=True,
+            accum=(3 if bundled else 1) * p.decomp_rows, balanced=True,
         )
     except ValueError:
         return None
@@ -202,7 +206,7 @@ def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
     on-device, in ``chunk``-sized slices of key bits to bound the working set.
     """
     p = cloud.params
-    plan = _bootstrap_plan(p)
+    plan = _bootstrap_plan(p, bundled=cloud.bk_pair is not None)
     if plan is None:
         return _prepare_cloud_key_schoolbook(cloud, chunk)
     bundle = 1
@@ -666,16 +670,26 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1,
                 B = acc.shape[0]
                 a2 = jax.lax.dynamic_slice_in_dim(abar, 2 * i, 2, axis=1)
                 ai, aj = a2[:, 0], a2[:, 1]
-                # rot(acc, a_i) and rot(acc, a_j) in one doubled-batch rotate
-                both = rotate(
-                    jnp.concatenate([acc, acc], axis=0),
-                    jnp.concatenate([ai, aj], axis=0),
-                )
-                u = both[:B] - acc          # (X^ai - 1) acc
-                v = both[B:] - acc          # (X^aj - 1) acc
-                w = rotate(u, aj) - u       # (X^ai - 1)(X^aj - 1) acc
+                if ablate == "rotate":
+                    # fold-resistant stub with the same shapes (see the plain
+                    # body): profiling ablation, results become WRONG
+                    u = acc * np.int32(3) - acc
+                    v = acc * np.int32(5) - acc
+                    w = u * np.int32(3) - u
+                else:
+                    # rot(acc, a_i) and rot(acc, a_j) in one doubled-batch
+                    # rotate
+                    both = rotate(
+                        jnp.concatenate([acc, acc], axis=0),
+                        jnp.concatenate([ai, aj], axis=0),
+                    )
+                    u = both[:B] - acc      # (X^ai - 1) acc
+                    v = both[B:] - acc      # (X^aj - 1) acc
+                    w = rotate(u, aj) - u   # (X^ai - 1)(X^aj - 1) acc
                 diffs = jnp.stack([u, v, w], axis=1).reshape(3 * B, 2, N)
                 digits = decompose(diffs).reshape(B, 3 * rows, N)
+                if ablate == "extprod":
+                    return acc + digits[:, :2, :].astype(jnp.int32)
                 return acc + external_delta(digits, bk_slice(bk_ntt, i))
 
             return jax.lax.fori_loop(0, n // 2, body, acc, unroll=unroll)

@@ -52,6 +52,14 @@ class CloudKey:
     # ``keygen(..., bundle=2)``.  The TPU-native analogue of trading HBM for
     # fewer dependent loop stages; no reference counterpart (its TFHE backend
     # is fixed at one key bit per round).
+    #
+    # SECURITY NOTE: bk_pair publishes TGSW encryptions of PRODUCTS of secret
+    # key bits (s_2p * s_2p+1) under the RLWE key — a strictly stronger
+    # circular-security-style assumption than the baseline bootstrapping key
+    # (which encrypts single bits).  This is the standard assumption of the
+    # multi-bit blind-rotation literature (e.g. "bootstrapping in less than
+    # 0.1 seconds"-family batched-CMUX schemes); opt into bundle=2 only if
+    # that assumption is acceptable.  See docs/TFHE_COMPAT.md "Bundled keys".
     bk_pair: np.ndarray | None = None
 
 

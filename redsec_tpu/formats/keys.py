@@ -89,8 +89,12 @@ def load_prepared_key(path: str):
     params = get_params(str(d["params"]))
     from ..crypto.bootstrap import _bootstrap_plan
 
-    plan = _bootstrap_plan(params)
+    bundle = int(d["bundle"]) if "bundle" in d else 1
+    plan = _bootstrap_plan(params, bundled=bundle != 1)
     bk_ntt = tuple(jnp.asarray(d[f"bk_ntt_{i}"]) for i in range(int(d["nprimes"])))
+    if plan is not None and len(bk_ntt) != len(plan.primes):
+        raise ValueError(
+            "stale prepared-key cache (CRT prime plan changed); regenerate")
     if "ksk_limbs" not in d:
         raise ValueError("stale prepared-key cache (pre-ksk_limbs format); regenerate")
     from ..crypto.bootstrap import BK_LIMBS
@@ -103,7 +107,7 @@ def load_prepared_key(path: str):
         params=params, plan=plan, bk_ntt=bk_ntt,
         ksk_limbs=jnp.asarray(d["ksk_limbs"]),
         ntt_flavor=str(d["ntt_flavor"]) if "ntt_flavor" in d else "radix2",
-        bundle=int(d["bundle"]) if "bundle" in d else 1,
+        bundle=bundle,
     )
 
 

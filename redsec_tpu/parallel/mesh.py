@@ -75,7 +75,7 @@ def build_dp_encrypted_forward(model, dkey, mesh: Mesh):
     """
     from ..runtime.encrypted import build_forward_impl
 
-    impl = build_forward_impl(model, dkey.params, dkey.plan)
+    impl = build_forward_impl(model, dkey.params, dkey.plan, bundle=dkey.bundle)
     repl = NamedSharding(mesh, P())
     key_specs = (
         tuple(repl for _ in dkey.bk_ntt),  # bk_ntt tuple

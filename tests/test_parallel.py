@@ -47,6 +47,32 @@ def test_dp_forward_matches_single_device(env):
 
 
 @pytest.mark.slow
+def test_dp_forward_bundled_key_matches_single_device():
+    """Regression: build_dp_encrypted_forward must thread dkey.bundle into the
+    forward impl — with a bundle=2 key the plain impl silently computed wrong
+    results (clamped dynamic_index + broadcast over the 3*rows axis)."""
+    from test_encrypted_ops import make_mini_sign_net
+    from redsec_tpu.models.spec import prep_model
+    from redsec_tpu.runtime.encrypted import build_encrypted_forward, encrypt_images
+
+    sk, cloud = kg.keygen(TEST_NOISELESS, seed=33, bundle=2)
+    dkey = bs.prepare_cloud_key(cloud)
+    assert dkey.bundle == 2
+    rng = np.random.default_rng(2)
+    spec, blob = make_mini_sign_net(rng)
+    plan = prep_model(spec, blob)
+    x = rng.integers(-15, 16, size=(8, 8, 8, 1)).astype(np.int32)
+    ct = jnp.asarray(encrypt_images(sk, x, TEST_NOISELESS, rng))
+
+    single = np.asarray(build_encrypted_forward(plan, dkey)(ct))
+
+    mesh = make_mesh(8, tp=2)
+    sharded = build_dp_encrypted_forward(plan, dkey, mesh)
+    got = np.asarray(sharded(shard_ciphertext_batch(ct, mesh)))
+    np.testing.assert_array_equal(got, single)
+
+
+@pytest.mark.slow
 def test_tp_fc_sign_matches_single_device(env):
     sk, dkey = env
     params = TEST_NOISELESS
