@@ -168,6 +168,10 @@ class LayerPlan:
     # max |pre-PBS value| observed by runtime.ranges.calibrate_ranges, if run;
     # drives the per-layer relu implementation choice and the range guard
     measured_pre_bound: Optional[int] = None
+    # per-channel (lo, hi) pre-PBS intervals from calibrate_ranges (RELU
+    # layers only); lets runtime.ranges center asymmetric ranges so the PBS
+    # budget covers (hi-lo)/2 instead of max(|lo|,|hi|)
+    measured_chan_interval: "Optional[tuple]" = None
 
 
 @dataclasses.dataclass

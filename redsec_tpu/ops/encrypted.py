@@ -159,39 +159,52 @@ def quant_add_bias_enc(plan: QuantPlan, x: jax.Array, params: TfheParams,
 
 
 def relu_test_vectors(plan: QuantPlan, params: TfheParams,
-                      g_in: int = 1, g_out: int = 1) -> np.ndarray:
+                      g_in: int = 1, g_out: int = 1,
+                      center: "np.ndarray | None" = None) -> np.ndarray:
     """Per-channel programmable test vectors for the DoReFa relu staircase.
 
     With the half-torus pre-bias R = msize/4, rotation j represents input
     value v = round(j * msize / 2N) - R; the output is the exact plaintext
     formula clamp((slope*v + bias) >> slope_bits, 0, 2^shift - 1)
-    (IntFunc.cpp:953-969 semantics)."""
+    (IntFunc.cpp:953-969 semantics).
+
+    ``center``: optional per-channel re-encoding shift [C] (ungained units):
+    the ciphertext arrives as g_in*(x + center) and the staircase of the
+    TRUE value x folds exactly into the vector (see _staircase_i64)."""
     N, msize = params.N, params.msg_space
     R = msize // 4
     j = np.arange(N)
     v = np.round(j * msize / (2 * N)).astype(np.int64) - R  # [-R, R)
-    out = _staircase_i64(plan, v, g_in) * g_out
+    out = _staircase_i64(plan, v, g_in, center) * g_out
     return mod_switch_to_torus32(out, msize).astype(np.int32)  # [C, N]
 
 
-def _staircase_i64(plan: QuantPlan, v: np.ndarray, g_in: int = 1) -> np.ndarray:
+def _staircase_i64(plan: QuantPlan, v: np.ndarray, g_in: int = 1,
+                   center: "np.ndarray | None" = None) -> np.ndarray:
     """The DoReFa staircase clamp((slope*v + bias) >> slope_bits, 0, top) on
     int64 message-space values v [M] -> [C, M] (IntFunc.cpp:953-969).
 
     ``g_in``: the encoding gain of v (a power of two).  The staircase of the
     UNSCALED value x = v/g folds exactly into integer arithmetic:
     (slope*(g*x) + g*bias) >> (slope_bits + log2 g) == (slope*x + bias) >>
-    slope_bits for any integer x."""
+    slope_bits for any integer x.
+
+    ``center``: per-channel shift s [C]: v = g*(x + s) for true value x;
+    staircase(x) folds via bias' = bias - slope*s (still exact integers)."""
     assert g_in & (g_in - 1) == 0, g_in
     slope = plan.slope.astype(np.int64)[:, None]
-    bias = plan.bias.astype(np.int64)[:, None] * g_in
+    bias = plan.bias.astype(np.int64)[:, None]
+    if center is not None:
+        bias = bias - slope * np.asarray(center, np.int64)[:, None]
+    bias = bias * g_in
     sb = plan.slope_bits + (g_in.bit_length() - 1)
     y = (slope * v[None, :].astype(np.int64) + bias) >> sb
     return np.clip(y, 0, (1 << plan.shift_bits) - 1)
 
 
 def relu_fdfb_test_vectors(plan: QuantPlan, params: TfheParams,
-                           g_in: int = 1, g_out: int = 1):
+                           g_in: int = 1, g_out: int = 1,
+                           center: "np.ndarray | None" = None):
     """Odd/even test vectors for the FULL-range (|v| < msize/2) relu, plus a
     per-channel torus constant.
 
@@ -216,20 +229,31 @@ def relu_fdfb_test_vectors(plan: QuantPlan, params: TfheParams,
     N, msize = params.N, params.msg_space
     u = np.round(np.arange(N) * msize / (2 * N)).astype(np.int64)
     ms = lambda y: mod_switch_to_torus32(y, msize).astype(np.int64)  # noqa: E731
-    a = ms(_staircase_i64(plan, u, g_in) * g_out)
-    b = ms(_staircase_i64(plan, u - msize // 2, g_in) * g_out)
+    a = ms(_staircase_i64(plan, u, g_in, center) * g_out)
+    b = ms(_staircase_i64(plan, u - msize // 2, g_in, center) * g_out)
     tv_odd = ((a - b) >> 1).astype(np.int32)  # [C, N]
     tv_even = (a + b) >> 1
     edge = np.array([0, -1, msize // 2 - 1, -msize // 2], np.int64)
-    c = (ms(_staircase_i64(plan, edge, g_in) * g_out).sum(axis=1) // 4
+    c = (ms(_staircase_i64(plan, edge, g_in, center) * g_out).sum(axis=1) // 4
          ).astype(np.int64)  # [C]
     tv_even = (tv_even - c[:, None]).astype(np.int32)
     return tv_odd, tv_even, c.astype(np.int32)
 
 
+def _add_center(x: jax.Array, center, g_in: int, msize: int) -> jax.Array:
+    """Per-channel re-encoding shift: ciphertext v -> v + g_in*center, exact
+    noiseless body add.  Centers an asymmetric pre-activation range so the
+    PBS budget covers (hi-lo)/2 instead of max(|lo|,|hi|) (runtime/ranges.py
+    chooses the shifts; the matching test vectors fold them back out)."""
+    if center is None:
+        return x
+    mu = mod_switch_to_torus32(np.asarray(center, np.int64) * g_in, msize)
+    return x.at[..., -1].add(jnp.asarray(mu, jnp.int32))
+
+
 def quant_relu_fdfb_enc(
     plan: QuantPlan, x: jax.Array, pbs, params: TfheParams,
-    g_in: int = 1, g_out: int = 1,
+    g_in: int = 1, g_out: int = 1, center=None,
 ) -> jax.Array:
     """Full-range DoReFa relu: 3 bootstraps per activation, valid while
     |conv output| < msize/2 — the same leveled budget as the reference's
@@ -239,9 +263,11 @@ def quant_relu_fdfb_enc(
     out = PBS_odd(v) + PBS_even(v - sign(v)*msize/4 + msize/4)."""
     B, H, W, C, R = x.shape
     msize = params.msg_space
+    x = _add_center(x, center, g_in, msize)
     quarter = np.int32(int(mod_switch_to_torus32(msize // 4, msize)))
     tv_sign = jnp.asarray(const_test_vector(params, msize // 4, msize))
-    tv_odd, tv_even, c = relu_fdfb_test_vectors(plan, params, g_in, g_out)
+    tv_odd, tv_even, c = relu_fdfb_test_vectors(plan, params, g_in, g_out,
+                                                center)
     flat = x.reshape(-1, R)
     m = flat.shape[0]
     s = pbs(flat, tv_sign)  # LWE of +-msize/4
@@ -256,8 +282,11 @@ def quant_relu_fdfb_enc(
     return out.reshape(B, H, W, C, R)
 
 
-def quant_relu_fdfb_stage1(plan: QuantPlan, x: jax.Array, params: TfheParams):
-    """Staged-mode FDFB part 1: flat ciphertexts + the sign test vector."""
+def quant_relu_fdfb_stage1(plan: QuantPlan, x: jax.Array, params: TfheParams,
+                           g_in: int = 1, center=None):
+    """Staged-mode FDFB part 1: flat (centered) ciphertexts + the sign test
+    vector."""
+    x = _add_center(x, center, g_in, params.msg_space)
     flat = x.reshape(-1, x.shape[-1])
     tv_sign = jnp.asarray(const_test_vector(params, params.msg_space // 4,
                                             params.msg_space))
@@ -266,14 +295,16 @@ def quant_relu_fdfb_stage1(plan: QuantPlan, x: jax.Array, params: TfheParams):
 
 def quant_relu_fdfb_stage2(
     plan: QuantPlan, flat: jax.Array, s: jax.Array, params: TfheParams,
-    g_in: int = 1, g_out: int = 1,
+    g_in: int = 1, g_out: int = 1, center=None,
 ):
     """Staged-mode FDFB part 2: leveled glue + the two programmable test
-    vectors, each [m, N] (per-channel), plus the seam constant row [m]."""
+    vectors, each [m, N] (per-channel), plus the seam constant row [m].
+    ``flat`` must already be centered (stage 1 applied the shift)."""
     msize = params.msg_space
     quarter = np.int32(int(mod_switch_to_torus32(msize // 4, msize)))
     ct2 = (flat - s).at[:, -1].add(quarter)
-    tv_odd, tv_even, c = relu_fdfb_test_vectors(plan, params, g_in, g_out)
+    tv_odd, tv_even, c = relu_fdfb_test_vectors(plan, params, g_in, g_out,
+                                                center)
     m, C = flat.shape[0], plan.depth
     tvs_o = jnp.broadcast_to(
         jnp.asarray(tv_odd)[None], (m // C, C, params.N)).reshape(m, params.N)
@@ -284,25 +315,26 @@ def quant_relu_fdfb_stage2(
 
 
 def quant_relu_pre(plan: QuantPlan, x: jax.Array, params: TfheParams,
-                   g_in: int = 1, g_out: int = 1):
+                   g_in: int = 1, g_out: int = 1, center=None):
     """PBS boundary for the DoReFa relu: (pre-biased x, per-activation tv
     [m, N]); the caller flattens to [m, R], bootstraps, reshapes back."""
     B, H, W, C, R = x.shape
+    x = _add_center(x, center, g_in, params.msg_space)
     half = np.int32(int(mod_switch_to_torus32(params.msg_space // 4, params.msg_space)))
     x = x.at[..., -1].add(half)  # pre-bias into [0, msize/2)
-    tvs = jnp.asarray(relu_test_vectors(plan, params, g_in, g_out))  # [C, N]
+    tvs = jnp.asarray(relu_test_vectors(plan, params, g_in, g_out, center))
     tv_all = jnp.broadcast_to(tvs[None, :, :], (B * H * W, C, params.N)).reshape(-1, params.N)
     return x, tv_all
 
 
 def quant_relu_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams,
-                   g_in: int = 1, g_out: int = 1) -> jax.Array:
+                   g_in: int = 1, g_out: int = 1, center=None) -> jax.Array:
     """DoReFa relu as one per-channel programmable bootstrap.
 
     Valid while the conv output magnitude stays below msize/4 (half-torus
     trick); beyond that the phase wraps, exactly like the reference's leveled
     accumulation beyond its 4096 message space."""
-    xb, tv_all = quant_relu_pre(plan, x, params, g_in, g_out)
+    xb, tv_all = quant_relu_pre(plan, x, params, g_in, g_out, center)
     return pbs(xb.reshape(-1, xb.shape[-1]), tv_all).reshape(xb.shape)
 
 

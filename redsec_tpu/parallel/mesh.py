@@ -211,13 +211,26 @@ def _plan_tp_layers(model, params, tp: int):
         elif r.relu_mode == "quarter":
             from ..ops.encrypted import relu_test_vectors
 
+            L["center"] = r.center is not None
+            if L["center"]:
+                args.append(jnp.asarray(mod_switch_to_torus32(
+                    np.asarray(r.center, np.int64) * r.in_gain, msize),
+                    jnp.int32))
+                specs.append(P("tp") if out_sharded else P())
             args.append(jnp.asarray(
-                relu_test_vectors(q, params, r.in_gain, r.out_gain)))  # [C, N]
+                relu_test_vectors(q, params, r.in_gain, r.out_gain,
+                                  r.center)))  # [C, N]
             specs.append(P("tp") if out_sharded else P())
             L["relu"] = "quarter"
         else:
+            L["center"] = r.center is not None
+            if L["center"]:
+                args.append(jnp.asarray(mod_switch_to_torus32(
+                    np.asarray(r.center, np.int64) * r.in_gain, msize),
+                    jnp.int32))
+                specs.append(P("tp") if out_sharded else P())
             tv_o, tv_e, c_seam = relu_fdfb_test_vectors(q, params, r.in_gain,
-                                                        r.out_gain)
+                                                        r.out_gain, r.center)
             args.append(jnp.asarray(tv_o))
             specs.append(P("tp") if out_sharded else P())
             args.append(jnp.asarray(tv_e))
@@ -317,6 +330,9 @@ def build_tp_encrypted_forward(model, dkey, mesh: Mesh, pbs_chunk: int = 512):
                 x = x.at[..., -1].add(args[ai])
                 ai += 1
             elif L["relu"] == "quarter":
+                if L.get("center"):
+                    x = x.at[..., -1].add(args[ai])
+                    ai += 1
                 tvs = args[ai]
                 ai += 1
                 half = jnp.int32(int(mod_switch_to_torus32(msize // 4, msize)))
@@ -327,6 +343,9 @@ def build_tp_encrypted_forward(model, dkey, mesh: Mesh, pbs_chunk: int = 512):
                     tvs[None], (m // C, C, params.N)).reshape(m, params.N)
                 x = pbs(x.reshape(-1, shp[-1]), tv_all).reshape(shp)
             else:  # full-range FDFB relu
+                if L.get("center"):
+                    x = x.at[..., -1].add(args[ai])
+                    ai += 1
                 tv_o, tv_e, c_seam = args[ai], args[ai + 1], args[ai + 2]
                 ai += 3
                 quarter = jnp.int32(int(mod_switch_to_torus32(msize // 4, msize)))

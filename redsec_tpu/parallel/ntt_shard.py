@@ -181,6 +181,31 @@ def shard_cloud_key_poly(dkey: DeviceCloudKey, mesh: Mesh,
     return PolyShardedKey(bk_ntt=bk, ksk_limbs=ksk, mesh=mesh, axis=axis)
 
 
+def exchange_bytes_per_round(p, plan, sp: int) -> dict:
+    """Per-ciphertext ICI traffic of ONE CMUX round of the poly-sharded
+    bootstrap (bytes actually crossing the interconnect, i.e. (sp-1)/sp of
+    each resharded tensor):
+
+    - forward all-to-all: decomposed digits, rows x N x 4 B per prime
+    - inverse all-to-all: accumulator products, 2 polys x limbs x N x 4 B/prime
+    - delta all-gather: 2 polys x N x 4 B x (sp-1)
+
+    Validates the ~200 KB/ciphertext/round estimate in the module docstring
+    (asserted in tests/test_ntt_shard.py)."""
+    N, rows = p.N, p.decomp_rows
+    np_ = len(plan.primes)
+    f = (sp - 1) / sp
+    fwd = rows * N * 4 * np_ * f
+    inv = 2 * BK_LIMBS * N * 4 * np_ * f
+    gather = 2 * N * 4 * (sp - 1)
+    return {
+        "fwd_all_to_all": int(fwd),
+        "inv_all_to_all": int(inv),
+        "delta_all_gather": int(gather),
+        "total": int(fwd + inv + gather),
+    }
+
+
 def make_poly_sharded_bootstrap(dkey: DeviceCloudKey, mesh: Mesh,
                                 axis: str = "tp",
                                 batch_axes=("dcn", "dp")):

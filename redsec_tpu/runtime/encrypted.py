@@ -23,15 +23,28 @@ from .ranges import resolve_pbs_ranges
 
 def _resolve_info(model: ModelPlan, params, range_check: bool = True):
     """Per-layer PbsRange info: relu implementation ("quarter" 1-PBS |
-    "full" 3-PBS FDFB), per-edge encoding gains, and the loud range guard
-    (runtime/ranges.py)."""
-    return resolve_pbs_ranges(model, params.msg_space, strict=range_check)
+    "full" 3-PBS FDFB), per-edge encoding gains, per-channel relu centering,
+    and the loud range guard (runtime/ranges.py).
+
+    REDSEC_INPUT_GAIN=1 additionally assigns a model-input encoding gain
+    (client encrypts pixels scaled by forward.in_gain) — env-driven so the
+    encrypt side and every forward builder resolve the same assignment."""
+    return resolve_pbs_ranges(
+        model, params.msg_space, strict=range_check,
+        input_gain=os.environ.get("REDSEC_INPUT_GAIN", "0") == "1")
 
 
 def model_out_gain(info) -> int:
     """Encoding gain carried by the final class scores (divide decrypted
     scores by this; argmax is invariant to it)."""
     return info[max(info)].out_gain
+
+
+def model_in_gain(info) -> int:
+    """Encoding gain expected on the model-INPUT ciphertexts: the client
+    must encrypt pixels scaled by this (resolve_pbs_ranges(input_gain=True)
+    assigns it; 1 otherwise).  Exposed as forward.in_gain."""
+    return info[0].in_gain if 0 in info else 1
 
 
 def _run_layer_ops(layer, x, pbs_fn, params, r):
@@ -50,10 +63,11 @@ def _run_layer_ops(layer, x, pbs_fn, params, r):
     elif q.mode == Activation.NONE:
         x = eops.quant_add_bias_enc(q, x, params, r.in_gain)
     elif r.relu_mode == "quarter":
-        x = eops.quant_relu_enc(q, x, pbs_fn, params, r.in_gain, r.out_gain)
+        x = eops.quant_relu_enc(q, x, pbs_fn, params, r.in_gain, r.out_gain,
+                                r.center)
     else:
         x = eops.quant_relu_fdfb_enc(q, x, pbs_fn, params, r.in_gain,
-                                     r.out_gain)
+                                     r.out_gain, r.center)
     if layer.maxpool is not None:
         x = eops.maxpool_enc(layer.maxpool, x, pbs_fn, params, r.out_gain)
     return x
@@ -105,6 +119,7 @@ def build_forward_impl(
         return x.reshape(x.shape[0], -1, x.shape[-1])
 
     forward.out_gain = model_out_gain(info)
+    forward.in_gain = model_in_gain(info)
     return forward
 
 
@@ -166,10 +181,11 @@ def build_staged_forward(
                 return x, None, x.shape
             if r.relu_mode == "quarter":
                 ct, tv = eops.quant_relu_pre(q, x, params, r.in_gain,
-                                             r.out_gain)
+                                             r.out_gain, r.center)
                 return ct, tv, x.shape
-            # FDFB stage 1: flat cts + sign tv; forward runs stages 2/3
-            ct, tv = eops.quant_relu_fdfb_stage1(q, x, params)
+            # FDFB stage 1: flat (centered) cts + sign tv; forward runs 2/3
+            ct, tv = eops.quant_relu_fdfb_stage1(q, x, params, r.in_gain,
+                                                 r.center)
             return ct, tv, x.shape
 
         return run
@@ -179,7 +195,8 @@ def build_staged_forward(
     fdfb_fns = {
         i: jax.jit(lambda flat, s, q=layer.quant, r=info[i]:
                    eops.quant_relu_fdfb_stage2(q, flat, s, params,
-                                               r.in_gain, r.out_gain))
+                                               r.in_gain, r.out_gain,
+                                               r.center))
         for i, layer in enumerate(model.layers)
         if layer.quant.mode == Activation.RELU and info[i].relu_mode == "full"
     }
@@ -258,6 +275,7 @@ def build_encrypted_forward(
         forward.impl = impl
         forward.mode = "staged"
         forward.out_gain = model_out_gain(info)
+        forward.in_gain = model_in_gain(info)
         return forward
 
     # Worker-crash guard: remote-execution backends fall over above ~32k
@@ -295,15 +313,21 @@ def build_encrypted_forward(
     forward.impl = impl
     forward.mode = jit
     forward.out_gain = model_out_gain(info)
+    forward.in_gain = model_in_gain(info)
     return forward
 
 
-def encrypt_images(sk, images: np.ndarray, params, rng=None) -> np.ndarray:
+def encrypt_images(sk, images: np.ndarray, params, rng=None,
+                   gain: int = 1) -> np.ndarray:
     """Client-side: encrypt converted-pixel images [B, H, W, C] -> ciphertext
-    tensor [B, H, W, C, n+1] (client/encrypt_image.cpp:73-80)."""
+    tensor [B, H, W, C, n+1] (client/encrypt_image.cpp:73-80).
+
+    ``gain``: model-input encoding gain (forward.in_gain) — pixels encrypt
+    as gain*p, multiplying the first bootstrap's decision margins."""
     from ..crypto import lwe
 
     rng = rng or np.random.default_rng(0)
+    images = np.asarray(images, np.int64) * int(gain)
     return lwe.encrypt_integers(sk.lwe_key, images, params, rng)
 
 

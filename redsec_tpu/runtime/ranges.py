@@ -44,6 +44,12 @@ class PbsRange:
     # encoding is hardwired to +-1 (lib/BinOps_enc.cpp:182-186).
     in_gain: int = 1
     out_gain: int = 1
+    # Per-channel re-encoding shift [C] (ungained units) applied to the
+    # ciphertext before this layer's PBS, folded back out by the test
+    # vectors: centers an asymmetric pre-activation range so the budget
+    # covers (hi-lo)/2 instead of max(|lo|,|hi|).  RELU layers only (a sign
+    # boundary is pinned at 0 and cannot shift).
+    center: Optional[np.ndarray] = None
 
     def effective(self) -> Optional[int]:
         return self.measured if self.measured is not None else self.certified
@@ -155,7 +161,12 @@ def calibrate_ranges(model: ModelPlan, images: np.ndarray) -> List[Optional[int]
             b = np.asarray(pre) + q.bias.reshape(1, 1, 1, -1)
             bound = int(np.abs(b).max())
         elif q.mode == Activation.RELU:
-            bound = int(np.abs(np.asarray(pre)).max())
+            a = np.asarray(pre)
+            bound = int(np.abs(a).max())
+            layer.measured_chan_interval = (
+                a.min(axis=(0, 1, 2)).astype(np.int64),
+                a.max(axis=(0, 1, 2)).astype(np.int64),
+            )
         layer.measured_pre_bound = bound
         bounds.append(bound)
         x = rp.layer_forward_ptxt(layer, x)
@@ -165,6 +176,7 @@ def calibrate_ranges(model: ModelPlan, images: np.ndarray) -> List[Optional[int]
 def resolve_pbs_ranges(
     model: ModelPlan, msg_space: int, strict: bool = True,
     gains: bool = True, gain_headroom: float = 2.0,
+    input_gain: bool = False,
 ) -> Dict[int, PbsRange]:
     """Pick the relu implementation, per-edge encoding gains, and guard
     every PBS boundary.
@@ -193,10 +205,52 @@ def resolve_pbs_ranges(
         ranges.append(r)
         out[i] = r
 
+    # Per-channel centering for relu layers (REDSEC_CENTER=0 disables): the
+    # staircase is translation-foldable (unlike sign's pinned boundary), so
+    # an asymmetric calibrated range [lo, hi] re-encodes as +-(hi-lo)/2 via
+    # an exact noiseless shift — this is what makes relu1024x3 (|v|max 2690
+    # at 100 images, beyond the +-2048 budget) runnable at all, and roughly
+    # doubles the gain budget on the other relu edges.  The reference has no
+    # analogue: its relu chain wraps silently (lib/IntFunc.cpp:860-973).
+    if os.environ.get("REDSEC_CENTER", "1") != "0":
+        for i, layer in enumerate(model.layers):
+            if (layer.quant.mode == Activation.RELU
+                    and layer.measured_chan_interval is not None):
+                lo, hi = layer.measured_chan_interval
+                s = -((lo + hi) // 2)
+                # align shifts to the 2N rotation grid (msg_space/2N units,
+                # = 2 for every shipped set): a sub-slot phase shift would
+                # change mod-switch rounding vs the uncentered grid and
+                # break the exact tv fold (tests/test_noise_sim.py)
+                s = s - (s % 2)
+                if np.any(s != 0):
+                    ranges[i].center = s.astype(np.int64)
+                    ranges[i].measured = int(
+                        np.maximum(np.abs(lo + s), np.abs(hi + s)).max())
+
     if gains:
         # choose out_gain of layer i from the bound of layer i+1 (whose
         # inputs are layer i's activations); bounds are linear in in_gain
         budget = half / gain_headroom
+        if input_gain:
+            # model-INPUT encoding gain: the client encrypts pixels scaled by
+            # g0 (public metadata, exact re-encoding), multiplying the first
+            # bootstrap's decision margins by g0 — reaches the edge no
+            # layer-side gain can (the pixel edge has no bootstrap to
+            # re-encode at).  Callers must scale the encrypted pixels by
+            # info[0].in_gain (runtime.encrypted forward exposes it).
+            # the gain propagates through leading bias-only layers to the
+            # first PBS; that layer's bound is the constraint
+            k = next(
+                (j for j, L in enumerate(model.layers)
+                 if L.quant.mode != Activation.NONE or L.maxpool is not None),
+                None)
+            b0 = ranges[k].effective() if k is not None else None
+            if b0 and b0 > 0:
+                g = 1
+                while b0 * (g * 2) <= budget:
+                    g *= 2
+                ranges[0].in_gain = g
         for i in range(len(model.layers) - 1):
             q = model.layers[i].quant
             if q.mode == Activation.NONE and model.layers[i].maxpool is None:

@@ -79,12 +79,14 @@ def main():
 
     calibrate_ranges(plan, x)
     info = resolve_pbs_ranges(plan, dkey.params.msg_space,
-                              strict=not args.no_range_check)
+                              strict=not args.no_range_check,
+                              input_gain=os.environ.get("REDSEC_INPUT_GAIN", "0") == "1")
     modes = {i: r.relu_mode for i, r in info.items() if r.relu_mode}
     if modes:
         print(f"[{time.time()-t0:6.1f}s] relu modes: {modes}")
     print(f"[{time.time()-t0:6.1f}s] encoding gains: "
-          f"{ {i: (r.in_gain, r.out_gain) for i, r in info.items()} }")
+          f"{ {i: (r.in_gain, r.out_gain) for i, r in info.items()} }"
+          f" centers: { {i: int(np.abs(r.center).max()) for i, r in info.items() if r.center is not None} }")
 
     rng = np.random.default_rng(0)
     fwd = build_encrypted_forward(plan, dkey, jit=args.jit,
@@ -97,7 +99,8 @@ def main():
         """Encrypt -> cloud forward -> decrypt; the host fetch inside
         decrypt forces completion (block_until_ready is unreliable on
         remote-execution backends). Returns (preds, seconds)."""
-        ct = jnp.asarray(encrypt_images(sk, xb, dkey.params, rng))
+        ct = jnp.asarray(encrypt_images(sk, xb, dkey.params, rng,
+                                        gain=getattr(fwd, "in_gain", 1)))
         t1 = time.time()
         scores = decrypt_scores(sk, np.asarray(fwd(ct)), dkey.params,
                                 getattr(fwd, 'out_gain', 1))

@@ -116,3 +116,60 @@ def test_radix2_key_rejected(mm_env):
     mesh = make_mesh(8, tp=2)
     with pytest.raises(ValueError, match="matmul"):
         shard_cloud_key_poly(dkey_r2, mesh, axis="tp")
+
+
+@pytest.mark.slow
+def test_poly_sharded_bootstrap_production_geometry():
+    """The poly-sharded bootstrap at FULL production geometry (small_v2_tpu:
+    n=350, N=1024, sp=4 on the virtual mesh) is bit-identical to the
+    single-device matmul-flavor bootstrap — lifts the correctness milestone
+    from toy shapes to the shipped parameter point (VERDICT r2 #7)."""
+    import os
+
+    from redsec_tpu.crypto.params import get_params
+
+    old = os.environ.get("REDSEC_NTT")
+    os.environ["REDSEC_NTT"] = "matmul"
+    try:
+        params = get_params("small_v2_tpu")
+        sk, cloud = kg.keygen(params, seed=21)
+        dkey = bs.prepare_cloud_key(cloud)
+        assert dkey.ntt_flavor == "matmul"
+        rng = np.random.default_rng(4)
+        vals = rng.integers(-1500, 1500, size=2)
+        ct = jnp.asarray(lwe.encrypt_integers(sk.lwe_key, vals, params, rng))
+        tv = bs.const_test_vector(params, 1, params.msg_space)
+
+        want = np.asarray(bs.make_batched_bootstrap(dkey)(ct, jnp.asarray(tv)))
+        mesh = make_mesh(8, tp=4)  # dp=2 x sp=4
+        fn = make_poly_sharded_bootstrap(dkey, mesh, axis="tp")
+        got = np.asarray(fn(ct, tv))
+        np.testing.assert_array_equal(got, want)
+        dec = lwe.decrypt_integers(sk.lwe_key, got, params)
+        np.testing.assert_array_equal(np.sign(dec), np.sign(vals))
+    finally:
+        if old is None:
+            os.environ.pop("REDSEC_NTT", None)
+        else:
+            os.environ["REDSEC_NTT"] = old
+
+
+def test_exchange_bytes_per_round_estimate():
+    """The per-round ICI exchange accounting matches the ~200 KB/ciphertext
+    estimate documented for small_v2 (module docstring / PERFORMANCE.md)."""
+    from redsec_tpu.crypto import ntt as ntt_mod
+    from redsec_tpu.crypto.params import get_params
+    from redsec_tpu.parallel.ntt_shard import exchange_bytes_per_round
+
+    p = get_params("small_v2")
+    plan = ntt_mod.make_plan(p.N, max_operand=p.half_bg, limb_bits=8,
+                             accum=p.decomp_rows, balanced=True)
+    ex = exchange_bytes_per_round(p, plan, sp=4)
+    # rows=20 x N=1024 x 4 B x 2 primes x 3/4 = 123 KB fwd; +inv and gather
+    assert 150_000 < ex["total"] < 300_000, ex
+    # tpu point: fewer rows -> less traffic
+    p2 = get_params("small_v2_tpu")
+    plan2 = ntt_mod.make_plan(p2.N, max_operand=p2.half_bg, limb_bits=8,
+                              accum=p2.decomp_rows, balanced=True)
+    ex2 = exchange_bytes_per_round(p2, plan2, sp=4)
+    assert ex2["fwd_all_to_all"] < ex["fwd_all_to_all"]

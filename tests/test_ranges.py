@@ -87,7 +87,9 @@ def test_resolve_raises_beyond_half_space():
     x = rng.integers(-1, 2, size=(8, 1, 1, 256)).astype(np.int32)
     rr.calibrate_ranges(plan, x)
     info = rr.resolve_pbs_ranges(plan, msg_space=1024)
-    assert info[0].effective() == plan.layers[0].measured_pre_bound
+    # centering may tighten the effective bound below the raw measured max
+    assert info[0].effective() <= plan.layers[0].measured_pre_bound
+    assert info[0].effective() is not None
 
 
 def test_shipped_net_bounds_fit_sign_budget():

@@ -42,6 +42,8 @@ from redsec_tpu.crypto.params import (
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 
+@pytest.mark.slow  # 50k-sample exhaustive decomposition x 4 sets (tier
+# re-binning, VERDICT r2 #10); the bootstrap tests exercise the same code
 @pytest.mark.parametrize("p", [SMALL_V2, SMALL_V2_TPU, SMALL, TEST_NOISELESS],
                          ids=lambda p: p.name)
 def test_gadget_decomposition_convention(p):
