@@ -118,7 +118,7 @@ def main():
 
     points = {name: measure_point(name, batch, iters) for name in names}
     head = names[0]
-    print(json.dumps({
+    out = {
         "metric": "gate_bootstraps_per_sec_per_chip",
         "value": points[head]["bootstraps_per_sec"],
         "unit": "bootstraps/s",
@@ -130,7 +130,25 @@ def main():
         "batch": batch,
         "points": points,
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if os.environ.get("REDSEC_BENCH_ANCHOR", "1") != "0":
+        # Anchor the roofline denominator to a measurement (VERDICT r2 #9):
+        # a deliberately VPU-bound fused int32 mul-add chain measures what
+        # fraction of the assumed 4e12 int-ops/s THIS backend can reach at
+        # all; vs_achievable = measured / (roofline * that fraction)
+        # separates backend-vs-spec loss from formulation loss.
+        try:
+            sys.path.insert(0, os.path.join(repo, "scripts"))
+            from bench_vpu_anchor import bench_fma_chain
+
+            fma_rate, _ = bench_fma_chain(size_mb=8, k=128, iters=4)
+            frac = fma_rate / VPU_INT_OPS_PER_SEC
+            out["achieved_vpu_fraction"] = round(frac, 4)
+            out["vs_achievable"] = round(
+                min(out["vs_baseline"] / max(frac, 1e-9), 99.0), 4)
+        except Exception as e:  # noqa: BLE001 — anchor is best-effort
+            out["achieved_vpu_fraction"] = f"failed: {type(e).__name__}"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -529,9 +529,18 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1,
     if bundle == 1 and _use_blind_kernel(p, plan):
         from . import pallas_blind
 
+        _bt = int(os.environ.get("REDSEC_BLIND_TILE", "64"))
+        if _bt > 64:
+            # supported envelope: tile 128's VMEM working set (tile x rows x
+            # 2 primes x N int32 intermediates) exceeds the 16 MB/core VMEM
+            # budget and crashed the worker when measured (PERFORMANCE.md,
+            # results/tpu_perf_sweep3.log 14:58) — reject instead of crash
+            raise ValueError(
+                f"REDSEC_BLIND_TILE={_bt} is outside the kernel's supported "
+                "envelope (max 64): the per-tile VMEM working set exceeds "
+                "the 16 MB budget and kills the device worker")
         blind_kernel = pallas_blind.make_blind_rotate_kernel(
-            p, plan,
-            tile=int(os.environ.get("REDSEC_BLIND_TILE", "64")),
+            p, plan, tile=_bt,
             interpret=jax.default_backend() == "cpu",
         )
 

@@ -172,6 +172,11 @@ class LayerPlan:
     # layers only); lets runtime.ranges center asymmetric ranges so the PBS
     # budget covers (hi-lo)/2 instead of max(|lo|,|hi|)
     measured_chan_interval: "Optional[tuple]" = None
+    # SIGN layers: calibration artifacts for flip-optimal gain selection —
+    # {"mask": bool [H,W,C] all-even-parity positions (tie-break targets),
+    #  "hist": int64 [M] histogram of |pre+bias(+tie)| margins,
+    #  "hist_raw": same without the tie-break offset}
+    sign_calib: "Optional[dict]" = None
 
 
 @dataclasses.dataclass

@@ -115,7 +115,7 @@ def _add_bias_body(x: jax.Array, bias_mu: np.ndarray) -> jax.Array:
 
 
 def quant_sign_pre(plan: QuantPlan, x: jax.Array, params: TfheParams,
-                   out_value: int = 1, g_in: int = 1):
+                   out_value: int = 1, g_in: int = 1, tie_break=None):
     """PBS boundary for the sign activation: (biased x, tv [N]); the caller
     flattens to [m, R], bootstraps, reshapes back.
 
@@ -123,18 +123,31 @@ def quant_sign_pre(plan: QuantPlan, x: jax.Array, params: TfheParams,
     maxpool-feeding sign outputs +-maxpool_sign_value so the window-OR's
     decision margins dwarf the mod-switch noise — the same reason the
     reference ORs in gate space at +-1/8 torus (lib/GPU/gates.cu:124-130,
-    BinOps_enc.cpp:164-167) instead of the +-1/4096 integer encoding."""
-    mu = mod_switch_to_torus32(plan.bias.astype(np.int64) * g_in,
-                               params.msg_space)
-    x = _add_bias_body(x, mu)
+    BinOps_enc.cpp:164-167) instead of the +-1/4096 integer encoding.
+
+    ``tie_break``: optional bool [H, W, C] parity mask (PbsRange.tie_break):
+    positions whose achievable pre+bias values are all EVEN get +g_in added
+    to the phase, lifting exact-zero ties (coin flips under noise) to
+    full-gain margins while preserving the sign of every achievable value
+    (oracle tie rule sign(0)=+1, runtime/ptxt.py:quant_sign_ptxt)."""
+    if tie_break is not None:
+        total = (plan.bias.astype(np.int64)[None, None, :]
+                 + np.asarray(tie_break, np.int64))  # [H, W, C]
+        mu = mod_switch_to_torus32(total * g_in, params.msg_space)
+        x = x.at[..., -1].add(jnp.asarray(mu, jnp.int32)[None])
+    else:
+        mu = mod_switch_to_torus32(plan.bias.astype(np.int64) * g_in,
+                                   params.msg_space)
+        x = _add_bias_body(x, mu)
     tv = jnp.asarray(const_test_vector(params, out_value, params.msg_space))
     return x, tv
 
 
 def quant_sign_enc(plan: QuantPlan, x: jax.Array, pbs, params: TfheParams,
-                   out_value: int = 1, g_in: int = 1) -> jax.Array:
+                   out_value: int = 1, g_in: int = 1,
+                   tie_break=None) -> jax.Array:
     """Sign activation: bias add + one sign bootstrap per activation."""
-    xb, tv = quant_sign_pre(plan, x, params, out_value, g_in)
+    xb, tv = quant_sign_pre(plan, x, params, out_value, g_in, tie_break)
     return pbs(xb.reshape(-1, xb.shape[-1]), tv).reshape(xb.shape)
 
 

@@ -31,7 +31,8 @@ def _resolve_info(model: ModelPlan, params, range_check: bool = True):
     encrypt side and every forward builder resolve the same assignment."""
     return resolve_pbs_ranges(
         model, params.msg_space, strict=range_check,
-        input_gain=os.environ.get("REDSEC_INPUT_GAIN", "0") == "1")
+        input_gain=os.environ.get("REDSEC_INPUT_GAIN", "0") == "1",
+        sigma_units=params.mod_switch_sigma_units())
 
 
 def model_out_gain(info) -> int:
@@ -59,7 +60,8 @@ def _run_layer_ops(layer, x, pbs_fn, params, r):
         # the mod-switch noise (ops/encrypted.py:maxpool_sign_value)
         ov = (eops.maxpool_sign_value(layer.maxpool, params)
               if layer.maxpool is not None else r.out_gain)
-        x = eops.quant_sign_enc(q, x, pbs_fn, params, ov, r.in_gain)
+        x = eops.quant_sign_enc(q, x, pbs_fn, params, ov, r.in_gain,
+                                r.tie_break)
     elif q.mode == Activation.NONE:
         x = eops.quant_add_bias_enc(q, x, params, r.in_gain)
     elif r.relu_mode == "quarter":
@@ -174,7 +176,8 @@ def build_staged_forward(
             if q.mode == Activation.SIGN:
                 ov = (eops.maxpool_sign_value(layer.maxpool, params)
                       if layer.maxpool is not None else r.out_gain)
-                ct, tv = eops.quant_sign_pre(q, x, params, ov, r.in_gain)
+                ct, tv = eops.quant_sign_pre(q, x, params, ov, r.in_gain,
+                                             r.tie_break)
                 return ct, tv, x.shape
             if q.mode == Activation.NONE:
                 x = eops.quant_add_bias_enc(q, x, params, r.in_gain)

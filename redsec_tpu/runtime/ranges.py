@@ -50,6 +50,22 @@ class PbsRange:
     # covers (hi-lo)/2 instead of max(|lo|,|hi|).  RELU layers only (a sign
     # boundary is pinned at 0 and cannot shift).
     center: Optional[np.ndarray] = None
+    # Parity tie-break mask [H, W, C] (bool) for SIGN layers: positions whose
+    # calibrated pre-activation parity is all-even include exact-zero phases
+    # (a coin flip under mod-switch noise); adding +in_gain to the phase
+    # there gives ties margin g instead of 0 and matches the oracle's
+    # sign(0)=+1 exactly for every achievable (even) value.  The reference
+    # has no analogue — its +-1 encoding leaves BNN parity ties at zero
+    # phase (lib/BinOps_enc.cpp:182-186).
+    tie_break: Optional[np.ndarray] = None
+    # Predicted per-activation flip rate at this PBS boundary under the
+    # mod-switch noise model (set by flip-optimal gain selection).
+    # expected_flip_rate includes the modeled upstream cascade;
+    # local_flip_rate is the same boundary with exact inputs (lam=0) — the
+    # strict guard judges the local rate (cascade is a property of the net,
+    # not of the message-space fit).
+    expected_flip_rate: Optional[float] = None
+    local_flip_rate: Optional[float] = None
 
     def effective(self) -> Optional[int]:
         return self.measured if self.measured is not None else self.certified
@@ -158,8 +174,23 @@ def calibrate_ranges(model: ModelPlan, images: np.ndarray) -> List[Optional[int]
         q = layer.quant
         bound = None
         if q.mode == Activation.SIGN or q.mode == Activation.NONE:
-            b = np.asarray(pre) + q.bias.reshape(1, 1, 1, -1)
+            b = np.asarray(pre).astype(np.int64) + q.bias.reshape(1, 1, 1, -1)
             bound = int(np.abs(b).max())
+            if q.mode == Activation.SIGN:
+                # parity tie-break mask + margin histograms for flip-optimal
+                # gain selection (see PbsRange.tie_break).  For pure-binary
+                # layers the pre+bias parity is deterministic per position
+                # (sum of K +-1 terms == K mod 2), so an all-even observation
+                # over the calibration set is exact, not statistical.
+                mask = (b % 2 == 0).all(axis=0)  # [H, W, C]
+                cap = 1 << 14
+                m_tb = np.abs(np.clip(b + mask[None], -cap, cap)).reshape(-1)
+                m_raw = np.abs(np.clip(b, -cap, cap)).reshape(-1)
+                layer.sign_calib = {
+                    "mask": mask,
+                    "hist": np.bincount(m_tb, minlength=cap + 2),
+                    "hist_raw": np.bincount(m_raw, minlength=cap + 2),
+                }
         elif q.mode == Activation.RELU:
             a = np.asarray(pre)
             bound = int(np.abs(a).max())
@@ -173,10 +204,96 @@ def calibrate_ranges(model: ModelPlan, images: np.ndarray) -> List[Optional[int]
     return bounds
 
 
+def _phi(z: np.ndarray) -> np.ndarray:
+    """Standard normal CDF, vectorized (Abramowitz-Stegun 7.1.26 erf
+    approximation, |err| < 1.5e-7 — flip-rate estimates need ~1e-5)."""
+    x = np.asarray(z, np.float64) / np.sqrt(2.0)
+    s = np.sign(x)
+    a = np.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = s * (1.0 - poly * np.exp(-a * a))
+    return 0.5 * (1.0 + erf)
+
+
+def _fanin(layer: LayerPlan) -> float:
+    """Mean +-1-input fan-in of a layer's pre-PBS accumulation (cascade
+    sensitivity): mean over outputs of sum|w| taps, x sumpool area."""
+    f = 1.0
+    if layer.conv is not None:
+        w = np.abs(layer.conv.weights.astype(np.int64)).sum(axis=(0, 1, 2))
+        f = float(w.mean())
+    if layer.sumpool is not None:
+        f *= layer.sumpool.window[0] * layer.sumpool.window[1]
+    return f
+
+
+def _flip_optimal_gain(hist: np.ndarray, sigma: float, half: int,
+                       lam: float = 0.0, gmax: Optional[int] = None,
+                       g_fixed: Optional[int] = None):
+    """Integer encoding gain minimizing PREDICTED flips at a sign boundary,
+    including upstream-flip CASCADE.
+
+    ``hist[m]`` counts calibrated activations at phase margin m (in oracle
+    units, tie-break applied).  Under gain g the phase is g*m plus two noise
+    terms: the fixed mod-switch noise N(0, sigma) and the cascade shift from
+    upstream activation flips — each of the fan-in's ~F +-1 inputs is wrong
+    w.p. p (vs the noiseless calibration trace) and toggles the sum by
+    +-2*g.  With k ~ Poisson(lam = F*p) flipped inputs the phase noise is
+    ~N(0, sigma_k^2), sigma_k^2 = sigma^2 + 4*k*g^2, and
+
+        E(g) = sum_m hist[m] * sum_k pois(k; lam) *
+               [ Phi(-g*m / sigma_k)          (noise/cascade flip)
+               + Phi((g*m - half) / sigma_k) ] (budget wrap)
+
+    Cascade is why a pure local optimum over-gains: pushing the calibrated
+    max to the budget edge leaves no room for cascade shifts, so upstream
+    flips turn large confident activations into wraps.  As g grows the
+    cascade term approaches Phi(-m / (2*sqrt(k))) — gains cannot beat
+    cascade, only local noise — which naturally caps the chosen g.
+    Returns (g, expected_flip_rate).  m=0 residual ties flip at 1/2 and add
+    a floor."""
+    total = float(hist.sum())
+    if total <= 0 or sigma <= 0:
+        return 1, 0.0
+    nzm = np.nonzero(hist)[0].astype(np.float64)
+    cnt = hist[np.nonzero(hist)[0]].astype(np.float64)
+    # Poisson mixture over flipped-input counts (collapse to the mean for
+    # large lam, where the mixture is indistinguishable from its center)
+    if lam < 30.0:
+        K = int(lam + 6 * np.sqrt(lam + 1)) + 1
+        ks = np.arange(K + 1, dtype=np.float64)
+        logw = ks * np.log(lam + 1e-300) - lam - np.cumsum(
+            np.log(np.maximum(ks, 1.0)))
+        w = np.exp(logw)
+        w /= w.sum()
+    else:
+        ks = np.array([lam])
+        w = np.array([1.0])
+    best_g, best_e = 1, float("inf")
+    cands = [int(g_fixed)] if g_fixed else range(1, int(gmax or half))
+    for g in cands:
+        sig_k = np.sqrt(sigma**2 + 4.0 * ks * g * g)  # [K]
+        smax = float(sig_k[-1])
+        # windows outside which the two Phi terms are 0 or 1
+        t_hi = (half + 6.0 * smax) / g
+        sel = nzm < t_hi
+        ms, cs = nzm[sel], cnt[sel]
+        wraps_sure = total - float(cs.sum())  # g*m far beyond half
+        z_noise = -(g * ms[None, :]) / sig_k[:, None]          # [K, M]
+        z_wrap = (g * ms[None, :] - half) / sig_k[:, None]
+        pf = np.minimum(_phi(z_noise) + _phi(z_wrap), 1.0)
+        e = wraps_sure + float((w @ pf) @ cs)
+        if e < best_e - 1e-12:
+            best_g, best_e = g, e
+    return best_g, best_e / total
+
+
 def resolve_pbs_ranges(
     model: ModelPlan, msg_space: int, strict: bool = True,
     gains: bool = True, gain_headroom: float = 2.0,
-    input_gain: bool = False,
+    input_gain: bool = False, sigma_units: Optional[float] = None,
 ) -> Dict[int, PbsRange]:
     """Pick the relu implementation, per-edge encoding gains, and guard
     every PBS boundary.
@@ -228,6 +345,34 @@ def resolve_pbs_ranges(
                     ranges[i].measured = int(
                         np.maximum(np.abs(lo + s), np.abs(hi + s)).max())
 
+    # Parity tie-break (REDSEC_TIEBREAK=0 disables): positions whose
+    # calibrated pre+bias values are all even can realize an exact-zero
+    # phase — a coin flip under mod-switch noise.  Shifting those phases by
+    # +in_gain (folded exactly: the oracle's sign(0)=+1 and every even value
+    # keeps its sign) converts zero margins to full-gain margins.
+    tie_on = os.environ.get("REDSEC_TIEBREAK", "1") != "0"
+    if tie_on:
+        for i, layer in enumerate(model.layers):
+            sc = layer.sign_calib
+            if (layer.quant.mode == Activation.SIGN and sc is not None
+                    and bool(sc["mask"].any())):
+                ranges[i].tie_break = sc["mask"]
+
+    # Flip-optimal gain selection (REDSEC_GAIN_MODE=max restores the
+    # max-bound power-of-two rule): when a sign layer has calibration
+    # histograms and the caller supplied the mod-switch sigma, pick the
+    # INTEGER gain minimizing predicted flips (noise + wraps) instead of the
+    # largest power of two under the max bound — see _flip_optimal_gain.
+    flip_mode = (gains and sigma_units is not None and sigma_units > 0
+                 and os.environ.get("REDSEC_GAIN_MODE", "flip") == "flip")
+
+    def _sign_hist(j: int):
+        sc = model.layers[j].sign_calib
+        if sc is None or model.layers[j].quant.mode != Activation.SIGN:
+            return None
+        return sc["hist"] if (tie_on and ranges[j].tie_break is not None) \
+            else sc["hist_raw"]
+
     if gains:
         # choose out_gain of layer i from the bound of layer i+1 (whose
         # inputs are layer i's activations); bounds are linear in in_gain
@@ -245,16 +390,61 @@ def resolve_pbs_ranges(
                 (j for j, L in enumerate(model.layers)
                  if L.quant.mode != Activation.NONE or L.maxpool is not None),
                 None)
-            b0 = ranges[k].effective() if k is not None else None
-            if b0 and b0 > 0:
-                g = 1
-                while b0 * (g * 2) <= budget:
-                    g *= 2
+            h0 = _sign_hist(k) if (flip_mode and k is not None) else None
+            if h0 is not None:
+                # model-input edge: pixels are exact (no upstream flips)
+                g, er = _flip_optimal_gain(h0, sigma_units, half, lam=0.0)
                 ranges[0].in_gain = g
+                ranges[k].expected_flip_rate = er
+                ranges[k].local_flip_rate = er
+            else:
+                b0 = ranges[k].effective() if k is not None else None
+                if b0 and b0 > 0:
+                    g = 1
+                    while b0 * (g * 2) <= budget:
+                        g *= 2
+                    ranges[0].in_gain = g
+        # cascade recursion seed: the first PBS layer's own flip rate at its
+        # resolved in_gain (flip-optimal above, or 1 without input_gain)
+        p_cur = 0.0
+        if flip_mode:
+            k0 = next(
+                (j for j, L in enumerate(model.layers)
+                 if L.quant.mode != Activation.NONE or L.maxpool is not None),
+                None)
+            if k0 is not None:
+                if ranges[k0].expected_flip_rate is not None:
+                    p_cur = ranges[k0].expected_flip_rate
+                else:
+                    hk = _sign_hist(k0)
+                    if hk is not None:
+                        _, p_cur = _flip_optimal_gain(
+                            hk, sigma_units, half, lam=0.0,
+                            g_fixed=ranges[k0].in_gain)
+                        ranges[k0].expected_flip_rate = p_cur
+
         for i in range(len(model.layers) - 1):
             q = model.layers[i].quant
             if q.mode == Activation.NONE and model.layers[i].maxpool is None:
                 continue  # bootstrap-free layer: encoding passes through
+            h = _sign_hist(i + 1) if flip_mode else None
+            if h is not None:
+                # REDSEC_CASCADE_W scales the modeled upstream-flip cascade:
+                # the independent-flip Poisson model overestimates measured
+                # cascade at depth ~2-4x (flips are spatially correlated and
+                # partially cancel); 0 = pure local optimum.  Default from
+                # the simulator sweep (scripts/predict_agreement.py).
+                w_c = float(os.environ.get("REDSEC_CASCADE_W", "0.25"))
+                lam = w_c * _fanin(model.layers[i + 1]) * p_cur
+                g, er = _flip_optimal_gain(h, sigma_units, half, lam)
+                ranges[i].out_gain = g
+                ranges[i + 1].in_gain = g
+                ranges[i + 1].expected_flip_rate = er
+                _, er_local = _flip_optimal_gain(h, sigma_units, half,
+                                                 lam=0.0, g_fixed=g)
+                ranges[i + 1].local_flip_rate = er_local
+                p_cur = er
+                continue
             nxt = ranges[i + 1].effective()
             # the final bias-only layer has no bootstrap but its decrypt
             # range must stay inside the message space too
@@ -290,6 +480,23 @@ def resolve_pbs_ranges(
                 r.relu_mode = (
                     "quarter" if (eff is not None and eff < quarter) else "full"
                 )
+        if r.expected_flip_rate is not None:
+            # flip-optimal gain: wraps beyond the budget are DELIBERATE and
+            # accounted in expected_flip_rate — the max-bound guard is
+            # replaced by a bound on the predicted LOCAL flip rate (the
+            # cascade share is a property of the net, not of the fit)
+            max_flip = float(os.environ.get("REDSEC_MAX_FLIP", "0.05"))
+            local = (r.local_flip_rate if r.local_flip_rate is not None
+                     else r.expected_flip_rate)
+            if strict and local > max_flip:
+                raise ValueError(
+                    f"layer {i} ({model.spec.name}): predicted per-activation "
+                    f"flip rate {local:.3f} exceeds "
+                    f"REDSEC_MAX_FLIP={max_flip} even at the flip-optimal "
+                    f"encoding gain — the message space cannot hold this "
+                    f"layer's margins against the mod-switch noise; use a "
+                    f"larger-N parameter set or strict=False")
+            continue
         if eff is not None and eff >= half and (
             q.mode == Activation.RELU or q.mode == Activation.SIGN
         ):

@@ -164,7 +164,10 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
         if q.mode == Activation.SIGN:
             ov = (maxpool_sign_value(layer.maxpool, p)
                   if layer.maxpool is not None else r.out_gain)
-            phase = x + q.bias.astype(np.int64) * r.in_gain + _center_units(r)
+            tie = (np.asarray(r.tie_break, np.int64)[None]
+                   if getattr(r, "tie_break", None) is not None else 0)
+            phase = (x + (q.bias.astype(np.int64) + tie) * r.in_gain
+                     + _center_units(r))
             tv = _decode_tv(const_test_vector(p, ov, msize), msize)
             x, _ = sim.pbs(phase, tv, var)
             var = np.full(q.depth, sim.var_pbs)

@@ -80,7 +80,13 @@ def main():
     calibrate_ranges(plan, x)
     info = resolve_pbs_ranges(plan, dkey.params.msg_space,
                               strict=not args.no_range_check,
-                              input_gain=os.environ.get("REDSEC_INPUT_GAIN", "0") == "1")
+                              input_gain=os.environ.get("REDSEC_INPUT_GAIN", "0") == "1",
+                              sigma_units=dkey.params.mod_switch_sigma_units())
+    efr = {i: round(r.expected_flip_rate, 5) for i, r in info.items()
+           if r.expected_flip_rate is not None}
+    if efr:
+        print(f"[{time.time()-t0:6.1f}s] flip-optimal gains; predicted "
+              f"per-boundary flip rates: {efr}")
     modes = {i: r.relu_mode for i, r in info.items() if r.relu_mode}
     if modes:
         print(f"[{time.time()-t0:6.1f}s] relu modes: {modes}")

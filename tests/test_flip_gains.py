@@ -1,0 +1,236 @@
+"""Flip-optimal encoding gains + parity tie-break (runtime/ranges.py).
+
+Round-3 mechanisms: instead of the max-bound power-of-two rule, sign-layer
+gains minimize the PREDICTED per-activation flip rate under the mod-switch
+noise model (calibrated margin histograms + upstream-flip cascade), and
+all-even-parity positions get a +in_gain phase shift that lifts exact-zero
+ties (coin flips under noise) to full-gain margins.  The reference has no
+analogue — its +-1 encoding is hardwired (lib/BinOps_enc.cpp:182-186) and
+BNN parity ties sit at zero phase.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from redsec_tpu.crypto import bootstrap as bs
+from redsec_tpu.crypto import keygen as kg
+from redsec_tpu.crypto.params import TEST_NOISELESS, get_params
+from redsec_tpu.models.spec import Activation, prep_model
+from redsec_tpu.runtime import ranges as rr
+from redsec_tpu.runtime.encrypted import (
+    build_forward_impl,
+    decrypt_scores,
+    encrypt_images,
+    model_in_gain,
+    model_out_gain,
+)
+from redsec_tpu.runtime.ptxt import build_forward
+
+from test_encrypted_ops import make_mini_sign_net
+
+
+# ---------------------------------------------------------------- unit level
+
+
+def test_flip_optimal_gain_empty_and_zero_sigma():
+    assert rr._flip_optimal_gain(np.zeros(8, np.int64), 10.0, 2048) == (1, 0.0)
+    assert rr._flip_optimal_gain(np.array([0, 5]), 0.0, 2048) == (1, 0.0)
+
+
+def test_flip_optimal_gain_balances_noise_vs_wrap():
+    """All margins at m=10, sigma=20, half=2048: any gain with g*10 >> sigma
+    and g*10 << half is optimal (both Phi terms negligible); the search
+    stops at the first such g.  g=1 would flip ~31% (Phi(-0.5))."""
+    hist = np.zeros(16, np.int64)
+    hist[10] = 1000
+    g, er = rr._flip_optimal_gain(hist, 20.0, 2048)
+    assert 8 <= g and g * 10 < 2048, g  # inside the safe window, no wrap
+    assert er < 1e-6, er
+    _, er1 = rr._flip_optimal_gain(hist, 20.0, 2048, g_fixed=1)
+    assert er1 > 0.25, er1  # Phi(-0.5) ~ 0.31
+
+
+def test_flip_optimal_gain_zero_margin_floor():
+    """Residual m=0 ties flip at ~1/2 regardless of gain."""
+    hist = np.zeros(16, np.int64)
+    hist[0] = 100
+    hist[10] = 900
+    _, er = rr._flip_optimal_gain(hist, 20.0, 2048)
+    assert 0.04 <= er <= 0.06, er  # 100/1000 * 0.5
+
+
+def test_flip_optimal_gain_cascade_hurts_and_floors():
+    """Upstream-flip cascade (lam>0) can only raise the expected flip rate,
+    and no gain can push it below the asymptotic cascade floor
+    Phi(-m / (2*sqrt(k))) — cascade noise scales WITH g, so gains beat the
+    fixed mod-switch noise but never the cascade itself."""
+    hist = np.zeros(64, np.int64)
+    hist[8] = 500
+    hist[40] = 500
+    g0, e0 = rr._flip_optimal_gain(hist, 20.0, 2048, lam=0.0)
+    g2, e2 = rr._flip_optimal_gain(hist, 20.0, 2048, lam=3.0)
+    assert e2 > e0, (e0, e2)  # cascade can only hurt
+    assert g2 * 40 < 2048, (g2,)  # chosen gain still avoids certain wraps
+    # floor: at lam=3 the m=8 bin flips >= ~Phi(-8/(2*sqrt(3)))*pois tail
+    assert e2 > 0.001, e2
+
+
+# --------------------------------------------------------- resolve-level
+
+
+def _calibrated_mini_net():
+    rng = np.random.default_rng(0)
+    spec, blob = make_mini_sign_net(rng)
+    plan = prep_model(spec, blob)
+    x = rng.integers(-15, 16, size=(12, 8, 8, 1)).astype(np.int32)
+    rr.calibrate_ranges(plan, x)
+    return plan, x
+
+
+def test_flip_mode_populates_rates_and_tie_break():
+    plan, _ = _calibrated_mini_net()
+    info = rr.resolve_pbs_ranges(plan, 4096, input_gain=True, sigma_units=8.0)
+    sign_layers = [i for i, L in enumerate(plan.layers)
+                   if L.quant.mode == Activation.SIGN]
+    assert sign_layers
+    for i in sign_layers:
+        assert info[i].expected_flip_rate is not None
+        assert info[i].local_flip_rate is not None
+        assert 0.0 <= info[i].local_flip_rate <= info[i].expected_flip_rate + 1e-12
+    # binary layers have deterministic parity -> tie masks exist somewhere
+    assert any(info[i].tie_break is not None for i in sign_layers)
+    # gains engaged beyond unit encoding
+    assert model_in_gain(info) > 1
+
+
+def test_gain_mode_max_restores_power_of_two_rule(monkeypatch):
+    plan, _ = _calibrated_mini_net()
+    monkeypatch.setenv("REDSEC_GAIN_MODE", "max")
+    info = rr.resolve_pbs_ranges(plan, 4096, input_gain=True, sigma_units=8.0)
+    assert all(r.expected_flip_rate is None for r in info.values())
+    for r in info.values():
+        assert r.out_gain & (r.out_gain - 1) == 0  # power of two
+
+
+def test_tiebreak_disable_env(monkeypatch):
+    """REDSEC_TIEBREAK=0 drops the masks — and the mini net's many residual
+    parity ties (each a 1/2-probability coin flip) then push the predicted
+    local flip rate past the default 5% guard: strict resolution must fail,
+    quantifying exactly what the tie-break buys."""
+    plan, _ = _calibrated_mini_net()
+    monkeypatch.setenv("REDSEC_TIEBREAK", "0")
+    with pytest.raises(ValueError, match="flip rate"):
+        rr.resolve_pbs_ranges(plan, 4096, input_gain=True, sigma_units=8.0)
+    info = rr.resolve_pbs_ranges(plan, 4096, strict=False, input_gain=True,
+                                 sigma_units=8.0)
+    assert all(r.tie_break is None for r in info.values())
+    # with tie-break ON the same net resolves strictly
+    monkeypatch.setenv("REDSEC_TIEBREAK", "1")
+    info_tb = rr.resolve_pbs_ranges(plan, 4096, input_gain=True,
+                                    sigma_units=8.0)
+    assert any(r.tie_break is not None for r in info_tb.values())
+
+
+def test_max_flip_guard_judges_local_rate(monkeypatch):
+    """The strict guard must trip on an impossible message-space fit (huge
+    sigma) and must NOT trip merely because the modeled cascade is large."""
+    plan, _ = _calibrated_mini_net()
+    monkeypatch.setenv("REDSEC_MAX_FLIP", "0.001")
+    with pytest.raises(ValueError, match="flip rate"):
+        rr.resolve_pbs_ranges(plan, 4096, input_gain=True, sigma_units=500.0)
+    # strict=False accepts
+    info = rr.resolve_pbs_ranges(plan, 4096, strict=False, input_gain=True,
+                                 sigma_units=500.0)
+    assert any(r.local_flip_rate is not None and r.local_flip_rate > 0.001
+               for r in info.values())
+    # tiny sigma passes the DEFAULT guard even with a large modeled cascade
+    # weight: the guard judges the LOCAL rate (residual-tie floor ~0.8% on
+    # this net), not the cascade-inflated expected rate
+    monkeypatch.setenv("REDSEC_MAX_FLIP", "0.05")
+    monkeypatch.setenv("REDSEC_CASCADE_W", "50")
+    info = rr.resolve_pbs_ranges(plan, 4096, input_gain=True,
+                                 sigma_units=0.5)
+    assert any(r.expected_flip_rate is not None
+               and r.expected_flip_rate > r.local_flip_rate
+               for r in info.values())
+
+
+# ------------------------------------------------------- integration level
+
+
+@pytest.fixture(scope="module")
+def keys():
+    sk, cloud = kg.keygen(TEST_NOISELESS, seed=11)
+    return sk, cloud, bs.prepare_cloud_key(cloud)
+
+
+def test_tie_break_forward_is_noiseless_noop(keys):
+    """Tie-break is a sign-preserving re-encoding: with noiseless keys the
+    tie-broken encrypted forward must decode to the SAME argmax as both the
+    oracle and the tie-break-off forward (every achievable even value keeps
+    its sign under +in_gain; sign(0)=+1 matches the oracle's tie rule)."""
+    sk, cloud, dkey = keys
+    params = TEST_NOISELESS
+    plan, x = _calibrated_mini_net()
+    x = x[:4]
+    rng = np.random.default_rng(3)
+
+    # max-mode power-of-two gains keep every phase on the even mod-switch
+    # grid, so both runs are deterministic
+    os.environ["REDSEC_GAIN_MODE"] = "max"
+    try:
+        info_tb = rr.resolve_pbs_ranges(plan, params.msg_space,
+                                        input_gain=True)
+        os.environ["REDSEC_TIEBREAK"] = "0"
+        try:
+            info_off = rr.resolve_pbs_ranges(plan, params.msg_space,
+                                             input_gain=True)
+        finally:
+            os.environ.pop("REDSEC_TIEBREAK")
+    finally:
+        os.environ.pop("REDSEC_GAIN_MODE")
+    assert any(r.tie_break is not None for r in info_tb.values()), \
+        "parity tie-break did not engage on the binary net"
+    assert all(r.tie_break is None for r in info_off.values())
+
+    g0 = model_in_gain(info_tb)
+    want = np.asarray(build_forward(plan)(jnp.asarray(x))).argmax(1)
+
+    def run(info):
+        ct = jnp.asarray(
+            encrypt_images(sk, x, params, np.random.default_rng(5),
+                           gain=model_in_gain(info)))
+        impl = build_forward_impl(plan, dkey.params, dkey.plan, info=info)
+        out = impl(dkey.bk_ntt, dkey.ksk_limbs, ct)
+        return decrypt_scores(sk, np.asarray(out), params,
+                              model_out_gain(info)).argmax(1)
+
+    np.testing.assert_array_equal(run(info_tb), want)
+    np.testing.assert_array_equal(run(info_off), want)
+
+
+def test_sim_tie_break_and_flip_gains_improve_agreement():
+    """On the mini sign net under REAL small_v2_tpu noise, the simulator must
+    show flip-optimal gains + tie-break >= the max-bound rule's agreement
+    (the mechanism exists to reduce flips; the sim is the cheap oracle)."""
+    from redsec_tpu.utils.noise_sim import agreement_estimate
+
+    plan, x = _calibrated_mini_net()
+    p = get_params("small_v2_tpu")
+    info_flip = rr.resolve_pbs_ranges(plan, p.msg_space, input_gain=True,
+                                      sigma_units=p.mod_switch_sigma_units())
+    os.environ["REDSEC_GAIN_MODE"] = "max"
+    try:
+        info_max = rr.resolve_pbs_ranges(
+            plan, p.msg_space, input_gain=True,
+            sigma_units=p.mod_switch_sigma_units())
+    finally:
+        os.environ.pop("REDSEC_GAIN_MODE")
+    a_flip = agreement_estimate(plan, x, p, info_flip, trials=5, seed=1)
+    a_max = agreement_estimate(plan, x, p, info_max, trials=5, seed=1)
+    assert a_flip["agreement_mean"] >= a_max["agreement_mean"] - 1e-9, \
+        (a_flip, a_max)
