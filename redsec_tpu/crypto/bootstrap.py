@@ -625,11 +625,27 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1,
                  for pi in range(len(primes))]
             )
             return round_kernel(digits, bk_i32)
+        # REDSEC_NARROW=1: materialize the NTT-domain intermediates (values
+        # < prime < 2^15) as uint16 at the fusion boundaries — halves the
+        # HBM bytes of the two largest per-round tensors (dn [B, rows, N]
+        # and the pointwise output [B, 2, limbs, N]) on a path whose
+        # throughput tracks memory passes (PERFORMANCE.md: bundle-sweep
+        # pass-floor result).  An optimization_barrier pins the narrow
+        # dtype at the boundary (a bare convert pair could fuse to either
+        # side and change nothing); widening happens inside the consumer's
+        # fusion; exactness is unaffected (residues in [0, prime)).
+        narrow = os.environ.get("REDSEC_NARROW", "0") == "1"
+
+        def _narrow16(t):
+            return jax.lax.optimization_barrier(
+                t.astype(jnp.uint16)).astype(jnp.int32)
         conv = []  # per prime: [B, 2, limbs, N]
         for pi, prime in enumerate(primes):
             d32 = digits.astype(jnp.int32)
             dmod = d32 + np.int32(prime) * (d32 < 0).astype(jnp.int32)
             dn = _fwd_ntt(dmod, plan, pi)  # [B, rows, N]
+            if narrow:
+                dn = _narrow16(dn)
             bki = bk_round[pi].astype(jnp.int32)  # [rows, 2, limbs, N]
             if ablate == "pointwise":
                 s = dn[:, : 2 * BK_LIMBS, :].reshape(-1, 2, BK_LIMBS, plan.N)
@@ -640,6 +656,8 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1,
             if ablate == "intt":
                 conv.append(s)
                 continue
+            if narrow:
+                s = _narrow16(s)
             conv.append(_inv_ntt(s, plan, pi))
         out = None
         for limb in range(BK_LIMBS):

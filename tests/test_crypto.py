@@ -156,3 +156,20 @@ def test_bootstrap_programmable(tiny_keys, tiny_dkey):
     out = np.asarray(pbs(jnp.asarray(ct), jnp.asarray(tv2)))
     dec = lwe.decrypt_integers(sk.lwe_key, out, params)
     np.testing.assert_array_equal(dec, np.clip(cvals >> 6, 0, 1))
+
+
+def test_bootstrap_narrow_intermediates_bit_exact(tiny_keys, tiny_dkey, monkeypatch):
+    """REDSEC_NARROW=1 (uint16 NTT-domain intermediates at the fusion
+    boundaries) is a pure memory-layout change: outputs must be bit-identical
+    to the default path (residues are in [0, prime) < 2^15, so the narrowing
+    cast is lossless)."""
+    sk, _ = tiny_keys
+    params = TEST_NOISELESS
+    rng = np.random.default_rng(9)
+    vals = rng.integers(-500, 500, size=32)
+    ct = jnp.asarray(lwe.encrypt_integers(sk.lwe_key, vals, params, rng))
+    tv = jnp.asarray(bs.const_test_vector(params, 1, params.msg_space))
+    want = np.asarray(bs.make_batched_bootstrap(tiny_dkey)(ct, tv))
+    monkeypatch.setenv("REDSEC_NARROW", "1")
+    got = np.asarray(bs.make_batched_bootstrap(tiny_dkey)(ct, tv))
+    np.testing.assert_array_equal(got, want)
