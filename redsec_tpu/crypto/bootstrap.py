@@ -59,6 +59,10 @@ class DeviceCloudKey:
     # blind rotation (bk_ntt per prime: [n/2, 3*rows, 2, limbs, N] packing
     # TGSW(s_2p), TGSW(s_2p+1), TGSW(s_2p*s_2p+1) row blocks); 1 otherwise.
     bundle: int = 1
+    # Re-randomization pool [E, n+1] (encryptions of 0; keygen.CloudKey):
+    # enables the majority-voted PBS.  None for keys saved before the pool
+    # existed — majority then raises at forward build.
+    rerand: jax.Array | None = None
 
 
 def _int8_limbs_np(x: np.ndarray):
@@ -194,7 +198,9 @@ def _prepare_cloud_key_schoolbook(cloud: CloudKey, chunk: int) -> DeviceCloudKey
         _int8_limbs_np(cloud.ksk.reshape(-1, p.n + 1).astype(np.int32))
     )
     return DeviceCloudKey(params=p, plan=None, bk_ntt=(bk_sb,),
-                          ksk_limbs=ksk_limbs, ntt_flavor="schoolbook")
+                          ksk_limbs=ksk_limbs, ntt_flavor="schoolbook",
+                          rerand=(None if cloud.rerand is None
+                                  else jnp.asarray(cloud.rerand.astype(np.int32))))
 
 
 def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
@@ -249,6 +255,8 @@ def prepare_cloud_key(cloud: CloudKey, chunk: int = 64) -> DeviceCloudKey:
         params=p, plan=plan, bk_ntt=tuple(bk_ntt), ksk_limbs=ksk_limbs,
         ntt_flavor="matmul" if _use_matmul_ntt(p.N) else "radix2",
         bundle=bundle,
+        rerand=(None if cloud.rerand is None
+                else jnp.asarray(cloud.rerand.astype(np.int32))),
     )
 
 

@@ -27,6 +27,12 @@ from .lwe import gaussian_torus32, lwe_key_gen
 from .params import TfheParams
 
 
+# re-randomization pool size: boundaries cycle through (boundary*k + copy)
+# mod RERAND_POOL, so 64 covers k=3 voting over 21 distinct boundaries
+# before reuse (reuse is harmless for decorrelation: the phase differs)
+RERAND_POOL = 64
+
+
 @dataclasses.dataclass
 class SecretKey:
     params: TfheParams
@@ -61,6 +67,13 @@ class CloudKey:
     # 0.1 seconds"-family batched-CMUX schemes); opt into bundle=2 only if
     # that assumption is acceptable.  See docs/TFHE_COMPAT.md "Bundled keys".
     bk_pair: np.ndarray | None = None
+    # Re-randomization pool: LWE encryptions of ZERO at alpha_enc
+    # ([E, n+1]).  Adding a pool element to a ciphertext re-randomizes its
+    # mask without changing the message — standard Regev public-key material
+    # (no assumption beyond the LWE already made).  Used by the
+    # majority-voted PBS (ops/encrypted.py:majority_pbs) to manufacture
+    # vote copies whose mod-switch roundings are decorrelated.
+    rerand: np.ndarray | None = None
 
 
 def negacyclic_mul_binary_host(a: np.ndarray, key: np.ndarray, N: int) -> np.ndarray:
@@ -175,4 +188,11 @@ def keygen(params: TfheParams, seed: int = 0, bundle: int = 1):
         bk_pair = make_bootstrap_key(params, pair_bits, rlwe_key, rng)
     elif bundle != 1:
         raise ValueError(f"unsupported bundle factor {bundle}")
-    return SecretKey(params, lwe_key, rlwe_key), CloudKey(params, bk, ksk, bk_pair)
+    # re-randomization pool (drawn LAST so base material is seed-stable):
+    # E encryptions of 0 — ~90 KB at small_v2 geometry, always included
+    from .lwe import lwe_encrypt
+
+    rerand = lwe_encrypt(
+        lwe_key, np.zeros(RERAND_POOL, np.int32), params.alpha_enc, rng)
+    return SecretKey(params, lwe_key, rlwe_key), CloudKey(
+        params, bk, ksk, bk_pair, rerand=rerand)

@@ -35,6 +35,8 @@ def load_secret_key(path: str) -> SecretKey:
 
 def save_cloud_key(path: str, ck: CloudKey) -> None:
     extra = {} if ck.bk_pair is None else {"bk_pair": ck.bk_pair}
+    if ck.rerand is not None:
+        extra["rerand"] = ck.rerand
     np.savez(path, version=FORMAT_VERSION, params=ck.params.name, bk=ck.bk,
              ksk=ck.ksk, **extra)
 
@@ -43,7 +45,8 @@ def load_cloud_key(path: str) -> CloudKey:
     d = np.load(path, allow_pickle=False)
     params = get_params(str(d["params"]))
     pair = d["bk_pair"] if "bk_pair" in d else None
-    return CloudKey(params, d["bk"], d["ksk"], pair)
+    rerand = d["rerand"] if "rerand" in d else None  # pre-pool keys: None
+    return CloudKey(params, d["bk"], d["ksk"], pair, rerand=rerand)
 
 
 def save_ciphertexts(path: str, ct: np.ndarray, params: TfheParams, label=None,
@@ -72,6 +75,8 @@ def save_prepared_key(path: str, dkey) -> None:
     """Cache the NTT-domain bootstrapping key + flat KSK so benches and
     repeated runs skip the ~2 min host transform."""
     arrs = {f"bk_ntt_{i}": np.asarray(b) for i, b in enumerate(dkey.bk_ntt)}
+    if dkey.rerand is not None:
+        arrs["rerand"] = np.asarray(dkey.rerand)
     np.savez(
         path, version=FORMAT_VERSION, params=dkey.params.name,
         nprimes=len(dkey.bk_ntt), ksk_limbs=np.asarray(dkey.ksk_limbs),
@@ -108,6 +113,7 @@ def load_prepared_key(path: str):
         ksk_limbs=jnp.asarray(d["ksk_limbs"]),
         ntt_flavor=str(d["ntt_flavor"]) if "ntt_flavor" in d else "radix2",
         bundle=bundle,
+        rerand=jnp.asarray(d["rerand"]) if "rerand" in d else None,
     )
 
 
@@ -138,6 +144,17 @@ def ensure_keyset(params_name: str = "small_v2", seed: int = 0,
     if os.path.exists(sk_path) and os.path.exists(ck_path):
         sk = load_secret_key(sk_path)
         cloud = load_cloud_key(ck_path)
+        if cloud.rerand is None:
+            # keyset cached before the re-randomization pool existed: the
+            # pool is client-side material (needs the secret key, which the
+            # cache holds) — draw it deterministically and upgrade in place
+            from ..crypto.lwe import lwe_encrypt
+
+            rng = np.random.default_rng(seed ^ 0x5EED)
+            cloud.rerand = lwe_encrypt(
+                sk.lwe_key, np.zeros(kg.RERAND_POOL, np.int32),
+                cloud.params.alpha_enc, rng)
+            save_cloud_key(ck_path, cloud)
     else:
         params = get_params(params_name)
         sk, cloud = kg.keygen(params, seed=seed, bundle=bundle)

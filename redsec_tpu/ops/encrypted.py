@@ -386,3 +386,74 @@ def maxpool_pre(plan: PoolPlan, x: jax.Array, params: TfheParams,
     s = s.at[..., -1].add(jnp.asarray(bias_mu, jnp.int32)[None, :, :, None])
     tv = jnp.asarray(const_test_vector(params, g_out, params.msg_space))
     return s, tv
+
+
+
+# --------------------------------------------------------------------------
+# Majority-voted PBS via re-randomized vote copies (round 3; no reference
+# analogue — the reference's TFHE backend bootstraps each decision once,
+# lib/BinOps_enc.cpp:182-186)
+#
+# A sign-type decision whose margin is comparable to the mod-switch noise
+# flips with probability p per bootstrap.  k COPIES of the ciphertext with
+# INDEPENDENT mask rounding vote it down to P(Binom(k,p) > k/2) — but copies
+# produced by leveled ops share the mask bit-for-bit, so their rounding
+# errors are perfectly correlated (a rotation-compensated "dither" is even
+# an exact no-op: the shifted initial accumulator cancels the rotated test
+# vector).  Independence is manufactured by RE-RANDOMIZATION: adding an
+# encryption of zero (CloudKey.rerand pool — standard Regev public-key
+# material, no assumption beyond LWE) replaces the mask with a fresh one
+# while preserving the message, so each copy's mod-switch rounding
+# decorrelates.  Per voted boundary and activation: k stage-1 sign
+# bootstraps at +-MAJORITY_G1 -> leveled vote sum (margin G1 >> sigma_ms)
+# -> ONE stage-2 bootstrap mapping the majority to the boundary's output
+# value.  Cost: k+1 bootstraps instead of 1; the accumulated-ciphertext
+# noise component (common to all copies — it lives in the value, not the
+# mask) is NOT voted down, only the mod-switch share is (the dominant term
+# at small fan-in, roughly half the total at CIFAR conv fan-ins;
+# utils/noise_sim.py models the split exactly).
+# --------------------------------------------------------------------------
+
+# stage-1 vote value: the vote-sum margin is G1 ~ 8 sigma_ms at small_v2
+# geometry while k*G1 stays far inside the +-msize/2 budget for any k <= 7
+MAJORITY_G1 = 64
+
+
+def majority_pbs(pbs, ct_flat: jax.Array, tv: jax.Array, params: TfheParams,
+                 k: int, rerand: jax.Array, salt: int = 0) -> jax.Array:
+    """k-vote majority sign-type PBS boundary.
+
+    ``ct_flat`` [m, R] biased phases; ``tv`` [N] the boundary's test vector
+    (must encode an odd function of the sign: +-v).  ``rerand`` [E, n+1]
+    zero-encryption pool; ``salt`` rotates pool usage across boundaries.
+    Returns [m, R] encrypting +-v by majority of k independent reads.
+    Ties are impossible for odd k (votes are +-G1)."""
+    if k < 2:
+        return pbs(ct_flat, tv)
+    E = rerand.shape[0]
+    tv1 = jnp.asarray(const_test_vector(params, MAJORITY_G1, params.msg_space))
+    copies = [ct_flat] + [
+        ct_flat + rerand[(salt * (k - 1) + c) % E][None].astype(jnp.int32)
+        for c in range(k - 1)
+    ]
+    votes = pbs(jnp.concatenate(copies, axis=0), tv1)  # [k*m, R] at +-G1
+    s = votes.reshape(k, *ct_flat.shape).sum(axis=0)   # margin G1
+    return pbs(s, tv)
+
+
+def majority_stage1_pre(ct_flat: jax.Array, params: TfheParams, k: int,
+                        rerand: jax.Array, salt: int = 0):
+    """Stage-1 inputs for the staged runtime: (copies [k*m, R], tv1 [N])."""
+    E = rerand.shape[0]
+    tv1 = jnp.asarray(const_test_vector(params, MAJORITY_G1, params.msg_space))
+    copies = [ct_flat] + [
+        ct_flat + rerand[(salt * (k - 1) + c) % E][None].astype(jnp.int32)
+        for c in range(k - 1)
+    ]
+    return jnp.concatenate(copies, axis=0), tv1
+
+
+def majority_vote_sum(votes: jax.Array, k: int) -> jax.Array:
+    """Leveled vote merge: [k*m, R] stage-1 outputs -> [m, R] vote sum."""
+    m = votes.shape[0] // k
+    return votes.reshape(k, m, votes.shape[-1]).sum(axis=0)

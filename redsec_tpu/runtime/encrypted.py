@@ -48,19 +48,49 @@ def model_in_gain(info) -> int:
     return info[0].in_gain if 0 in info else 1
 
 
-def _run_layer_ops(layer, x, pbs_fn, params, r):
+def majority_config() -> tuple[int, int]:
+    """(k, from_layer) for the re-randomized majority-voted PBS
+    (ops/encrypted.py:majority_pbs).  REDSEC_MAJORITY=k (odd, default 1 =
+    off) engages voting on every sign-type boundary whose layer index is
+    >= REDSEC_MAJORITY_FROM (default 0) at a (k+1)x bootstrap cost there."""
+    k = int(os.environ.get("REDSEC_MAJORITY", "1"))
+    if k > 1 and k % 2 == 0:
+        raise ValueError(f"REDSEC_MAJORITY must be odd (ties), got {k}")
+    return k, int(os.environ.get("REDSEC_MAJORITY_FROM", "0"))
+
+
+def _majority_wrap(pbs_fn, params, rerand, i):
+    """pbs_fn' that majority-votes sign-type boundaries of layer i (per
+    majority_config); identity wrapper when voting is off or out of range."""
+    k, frm = majority_config()
+    if k < 2 or i < frm:
+        return pbs_fn
+    if rerand is None:
+        raise ValueError(
+            "REDSEC_MAJORITY needs a re-randomization pool on the cloud key "
+            "(keygen now always emits CloudKey.rerand; re-generate or "
+            "re-save keys produced before it existed)")
+
+    def voted(ct, tv):
+        return eops.majority_pbs(pbs_fn, ct, tv, params, k, rerand, salt=i)
+
+    return voted
+
+
+def _run_layer_ops(layer, x, pbs_fn, params, r, i=0, rerand=None):
     """Conv/pool/quant/maxpool for one layer, with r: PbsRange gains."""
     if layer.conv is not None:
         x = eops.conv_enc(layer.conv, x, params.msg_space, r.in_gain)
     if layer.sumpool is not None:
         x = eops.sumpool_enc(layer.sumpool, x)
     q = layer.quant
+    vote_fn = _majority_wrap(pbs_fn, params, rerand, i)
     if q.mode == Activation.SIGN:
         # a maxpool-feeding sign outputs +-V so the window-OR margin dwarfs
         # the mod-switch noise (ops/encrypted.py:maxpool_sign_value)
         ov = (eops.maxpool_sign_value(layer.maxpool, params)
               if layer.maxpool is not None else r.out_gain)
-        x = eops.quant_sign_enc(q, x, pbs_fn, params, ov, r.in_gain,
+        x = eops.quant_sign_enc(q, x, vote_fn, params, ov, r.in_gain,
                                 r.tie_break)
     elif q.mode == Activation.NONE:
         x = eops.quant_add_bias_enc(q, x, params, r.in_gain)
@@ -71,12 +101,12 @@ def _run_layer_ops(layer, x, pbs_fn, params, r):
         x = eops.quant_relu_fdfb_enc(q, x, pbs_fn, params, r.in_gain,
                                      r.out_gain, r.center)
     if layer.maxpool is not None:
-        x = eops.maxpool_enc(layer.maxpool, x, pbs_fn, params, r.out_gain)
+        x = eops.maxpool_enc(layer.maxpool, x, vote_fn, params, r.out_gain)
     return x
 
 
 def build_layer_impls(model: ModelPlan, params, plan, pbs_chunk: int = 512,
-                      info=None, bundle: int = 1):
+                      info=None, bundle: int = 1, rerand=None):
     """Per-layer un-jitted forwards ``impl(bk_ntt, ksk_limbs, x) -> x'``.
     The caller is responsible for the final reshape to [B, classes, n+1].
     Lets callers jit layer-by-layer: large nets (CIFAR) as a single
@@ -91,7 +121,8 @@ def build_layer_impls(model: ModelPlan, params, plan, pbs_chunk: int = 512,
             def pbs_fn(ct, tv):
                 return pbs_impl(bk_ntt, ksk_limbs, ct, tv)
 
-            return _run_layer_ops(layer, x, pbs_fn, params, info[i])
+            return _run_layer_ops(layer, x, pbs_fn, params, info[i],
+                                  i, rerand)
 
         return run
 
@@ -100,13 +131,14 @@ def build_layer_impls(model: ModelPlan, params, plan, pbs_chunk: int = 512,
 
 def build_forward_impl(
     model: ModelPlan, params, plan, pbs_chunk: int = 512, info=None,
-    bundle: int = 1,
+    bundle: int = 1, rerand=None,
 ) -> Callable:
     """Un-jitted encrypted forward taking the evaluation key as arguments:
     ``impl(bk_ntt, ksk_limbs, x [B,H,W,C,n+1]) -> [B, classes, n+1]``.
 
     Keys must be runtime arguments, not closure constants — constants embed
     the ~330 MB key into the serialized HLO (see crypto/bootstrap.py).
+    (The ~90 KB re-randomization pool IS closed over: far below the limit.)
     """
     pbs_impl = make_chunked_impl(params, plan, chunk=pbs_chunk, bundle=bundle)
     if info is None:
@@ -117,7 +149,7 @@ def build_forward_impl(
             return pbs_impl(bk_ntt, ksk_limbs, ct, tv)
 
         for i, layer in enumerate(model.layers):
-            x = _run_layer_ops(layer, x, pbs_fn, params, info[i])
+            x = _run_layer_ops(layer, x, pbs_fn, params, info[i], i, rerand)
         return x.reshape(x.shape[0], -1, x.shape[-1])
 
     forward.out_gain = model_out_gain(info)
@@ -209,6 +241,29 @@ def build_staged_forward(
         for i, layer in enumerate(model.layers) if layer.maxpool is not None
     }
 
+    # majority-voted sign boundaries (REDSEC_MAJORITY): jitted stage-1
+    # replicate / vote-sum glue around two pbs_host dispatches per boundary
+    maj_k, maj_from = majority_config()
+    if maj_k > 1 and dkey.rerand is None:
+        raise ValueError(
+            "REDSEC_MAJORITY needs a re-randomization pool on the cloud key "
+            "(keygen now always emits CloudKey.rerand)")
+    stage1_fn = jax.jit(
+        lambda ct, salt: eops.majority_stage1_pre(
+            ct, params, maj_k, dkey.rerand, salt),
+        static_argnums=1) if maj_k > 1 else None
+    vote_sum_fn = jax.jit(
+        lambda v: eops.majority_vote_sum(v, maj_k)) if maj_k > 1 else None
+
+    def pbs_sign(ct_flat, tv, i):
+        """Sign-type boundary dispatch: plain PBS, or (k stage-1 votes ->
+        leveled majority -> stage-2 PBS) when voting is engaged."""
+        if maj_k < 2 or i < maj_from:
+            return pbs_host(ct_flat, tv)
+        copies, tv1 = stage1_fn(ct_flat, i)
+        votes = pbs_host(copies, tv1)
+        return pbs_host(vote_sum_fn(votes), tv)
+
     def forward(x: jax.Array) -> jax.Array:
         for i, layer in enumerate(model.layers):
             ct, tv, shape = pre_fns[i](x)
@@ -220,13 +275,15 @@ def build_staged_forward(
                 ct2, tvs_o, tvs_e, c_flat = fdfb_fns[i](flat, s)
                 out = pbs_host(flat, tvs_o) + pbs_host(ct2, tvs_e)
                 x = out.at[:, -1].add(c_flat).reshape(shape)
+            elif layer.quant.mode == Activation.SIGN:
+                x = pbs_sign(ct.reshape(-1, ct.shape[-1]), tv, i).reshape(shape)
             else:
                 # pbs expects flat [m, n+1]; reshape back to the layer shape
                 x = pbs_host(ct.reshape(-1, ct.shape[-1]), tv).reshape(shape)
             if layer.maxpool is not None:
                 ct, tv = mpre_fns[i](x)
                 mshape = ct.shape
-                x = pbs_host(ct.reshape(-1, ct.shape[-1]), tv).reshape(mshape)
+                x = pbs_sign(ct.reshape(-1, ct.shape[-1]), tv, i).reshape(mshape)
         return x.reshape(x.shape[0], -1, x.shape[-1])
 
     return forward
@@ -255,7 +312,7 @@ def build_encrypted_forward(
 
     info = _resolve_info(model, dkey.params, range_check)
     impl = build_forward_impl(model, dkey.params, dkey.plan, pbs_chunk, info,
-                              bundle=dkey.bundle)
+                              bundle=dkey.bundle, rerand=dkey.rerand)
 
     from ..utils.metrics import summarize
 
@@ -265,6 +322,11 @@ def build_encrypted_forward(
         "biggest": max((s.get("bootstraps", 0)
                         for s in stats.get("layers", [])), default=0),
     }
+    maj_k, _ = majority_config()
+    if maj_k > 1:
+        # voted sign boundaries run k+1 bootstraps per activation; scale the
+        # program-size estimates conservatively (relu boundaries don't vote)
+        per_image = {k2: v * (maj_k + 1) for k2, v in per_image.items()}
     if jit == "auto":
         # the per-program bootstrap ceiling dominates: a shallow-but-wide net
         # whose biggest layer exceeds pbs_macro must stage regardless of depth
@@ -298,7 +360,8 @@ def build_encrypted_forward(
     if jit == "layer":
         layer_fns = [jax.jit(f) for f in
                      build_layer_impls(model, dkey.params, dkey.plan, pbs_chunk,
-                                       info, bundle=dkey.bundle)]
+                                       info, bundle=dkey.bundle,
+                                       rerand=dkey.rerand)]
 
         def forward(x: jax.Array) -> jax.Array:
             _guard_batch(x.shape[0], per_image["biggest"], "per-layer")

@@ -440,8 +440,12 @@ def resolve_pbs_ranges(
                 ranges[i].out_gain = g
                 ranges[i + 1].in_gain = g
                 ranges[i + 1].expected_flip_rate = er
+                # local_flip_rate judges the FIT of the message space: the
+                # best achievable rate with exact inputs (lam=0, gain free)
+                # — NOT the rate at the cascade-chosen gain, which trades
+                # local flips for cascade robustness on purpose
                 _, er_local = _flip_optimal_gain(h, sigma_units, half,
-                                                 lam=0.0, g_fixed=g)
+                                                 lam=0.0)
                 ranges[i + 1].local_flip_rate = er_local
                 p_cur = er
                 continue

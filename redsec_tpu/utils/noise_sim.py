@@ -109,7 +109,8 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
                      info, rng: np.random.Generator,
                      pbs_sigma_slots: Optional[float] = None,
                      oracle_trace: Optional[list] = None,
-                     exact_layers: Optional[set] = None):
+                     exact_layers: Optional[set] = None,
+                     majority: int = 1, majority_from: int = 0):
     """One Monte-Carlo rollout of the encrypted pipeline.
 
     ``x``: converted pixels int [B, H, W, C] (unencoded).  ``info``: the
@@ -118,7 +119,13 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
     units, per-layer flip stats dict) — flip stats compare each PBS stage's
     outputs against the noiseless oracle when ``oracle_trace`` (the list of
     per-layer oracle activations from trace_oracle) is given.
-    """
+
+    ``majority`` k > 1 simulates the re-randomized majority-voted PBS on
+    sign-type boundaries (ops/encrypted.py:majority_pbs): k copies with
+    independent MOD-SWITCH rounding (the accumulated ciphertext noise stays
+    common — it lives in the value) are sign-bootstrapped and merged by a
+    homomorphic majority (stage-2 PBS at >=8 sigma margin, modeled exact).
+    Engages on boundaries with layer index >= ``majority_from``."""
     import jax.numpy as jnp
 
     from ..ops.encrypted import (
@@ -131,6 +138,31 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
     msize = p.msg_space
     sim = _Sim(p, rng, pbs_sigma_slots)
     B = x.shape[0]
+
+    def sign_read(phase, tv, var_in, engage):
+        """One sign-type PBS read, majority-voted over k re-randomized
+        copies (ops/encrypted.py:majority_pbs).  The accumulated-ciphertext
+        noise lives in the VALUE and is common to every copy (re-
+        randomization replaces only the mask); each copy's mod-switch
+        rounding is an independent draw.  Vote values are symmetric (+-v),
+        so majority == sign of the sum; ties are impossible for odd k.  The
+        stage-2 bootstrap (margin MAJORITY_G1 ~ 8 sigma) is modeled exact;
+        its fresh output noise is the var reset the caller applies."""
+        if majority <= 1 or not engage:
+            out, _ = sim.pbs(phase, tv, var_in)
+            return out
+        sig_common = np.sqrt(np.asarray(var_in, np.float64))
+        eta_c = sim.rng.standard_normal(phase.shape) * sig_common
+        if getattr(sim, "exact", False):
+            eta_c = np.zeros_like(eta_c)
+        acc = None
+        for _ in range(majority):
+            # independent mod-switch rounding per re-randomized copy (the
+            # zero-encryption's own noise, alpha_enc*msize ~ 0.13 units, is
+            # folded into sig_ms' dominance and neglected)
+            out, _ = sim.pbs(phase + eta_c, tv, 0.0)
+            acc = out if acc is None else acc + out
+        return np.sign(acc) * np.abs(np.int64(tv[0]))
     # fresh client encryption noise (SECALPHA), in units
     var = np.full(x.shape[3], (p.alpha_enc * msize) ** 2, np.float64)
     # the client encrypts pixels at the model-input gain (forward.in_gain)
@@ -169,7 +201,7 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
             phase = (x + (q.bias.astype(np.int64) + tie) * r.in_gain
                      + _center_units(r))
             tv = _decode_tv(const_test_vector(p, ov, msize), msize)
-            x, _ = sim.pbs(phase, tv, var)
+            x = sign_read(phase, tv, var, i >= majority_from)
             var = np.full(q.depth, sim.var_pbs)
             if oracle_trace is not None:
                 oref = oracle_trace[i]["quant"]  # +-1
@@ -216,7 +248,7 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
             phase = s + ((cntm - 1) * V)[None, :, :, None]
             w = mp.window[0] * mp.window[1]
             tv = _decode_tv(const_test_vector(p, r.out_gain, msize), msize)
-            x, _ = sim.pbs(phase, tv, var * w)
+            x = sign_read(phase, tv, var * w, i >= majority_from)
             var = np.full(x.shape[-1], sim.var_pbs)
             if oracle_trace is not None:
                 stats[f"L{i}.mp"] = _flip(x // r.out_gain,
@@ -276,7 +308,8 @@ def trace_oracle(model: ModelPlan, x: np.ndarray) -> list:
 def agreement_estimate(model: ModelPlan, x: np.ndarray, params: TfheParams,
                        info, trials: int = 5, seed: int = 0,
                        pbs_sigma_slots: Optional[float] = None,
-                       per_layer: bool = False):
+                       per_layer: bool = False,
+                       majority: int = 1, majority_from: int = 0):
     """Monte-Carlo oracle-agreement estimate over ``trials`` rollouts.
 
     Returns dict with mean/min agreement and (optionally) per-layer flip
@@ -292,7 +325,9 @@ def agreement_estimate(model: ModelPlan, x: np.ndarray, params: TfheParams,
     for t in range(trials):
         rng = np.random.default_rng(seed + t)
         scores, stats = simulate_forward(model, x, params, info, rng,
-                                         pbs_sigma_slots, trace)
+                                         pbs_sigma_slots, trace,
+                                         majority=majority,
+                                         majority_from=majority_from)
         agrees.append(float((scores.argmax(1) == ptxt_preds).mean()))
         for k, v in stats.items():
             layer_rates.setdefault(k, []).append(v["rate"])

@@ -38,6 +38,16 @@ def main():
                     help="per-boundary ISOLATED flip rates: for each layer, "
                          "one rollout with every OTHER layer noiseless — "
                          "separates local noise from upstream cascade")
+    ap.add_argument("--majority", type=int, default=1,
+                    help="simulate k-copy dithered-PBS majority voting on "
+                         "sign-type boundaries (see noise_sim.simulate_forward)")
+    ap.add_argument("--majority-from", type=int, default=0,
+                    help="first layer index whose sign boundary replicates "
+                         "the stream (earlier boundaries run single-PBS)")
+    ap.add_argument("--no-range-check", action="store_true",
+                    help="resolve with strict=False (mirror the runner's "
+                         "flag): forecast nets whose margins trip the "
+                         "REDSEC_MAX_FLIP guard instead of refusing")
     args = ap.parse_args()
 
     # OFFLINE predictor: force CPU even when the session env points JAX at
@@ -70,7 +80,7 @@ def main():
 
     calibrate_ranges(plan, x)
     info = resolve_pbs_ranges(
-        plan, params.msg_space,
+        plan, params.msg_space, strict=not args.no_range_check,
         input_gain=os.environ.get("REDSEC_INPUT_GAIN", "0") == "1",
         sigma_units=params.mod_switch_sigma_units())
     efr = {i: round(r.expected_flip_rate, 5) for i, r in info.items()
@@ -111,7 +121,12 @@ def main():
              or None)
     if exact is None:
         res = ns.agreement_estimate(plan, x, params, info, trials=args.trials,
-                                    seed=args.seed, per_layer=args.per_layer)
+                                    seed=args.seed, per_layer=args.per_layer,
+                                    majority=args.majority,
+                                    majority_from=args.majority_from)
+        if args.majority > 1:
+            res["majority"] = args.majority
+            res["majority_from"] = args.majority_from
     else:
         trace = ns.trace_oracle(plan, x)
         agrees, layer_rates = [], {}
