@@ -59,11 +59,33 @@ def majority_config() -> tuple[int, int]:
     return k, int(os.environ.get("REDSEC_MAJORITY_FROM", "0"))
 
 
+def majority_k_for_layer(i: int) -> int:
+    """Vote count for layer i's sign-type boundary.
+
+    REDSEC_MAJORITY_PLAN="5:5,7:7" overrides the global REDSEC_MAJORITY per
+    layer index — the cascade-aware shape: a LARGE k on a small deep
+    boundary that feeds a huge fan-in (e.g. the CIFAR nets' 4k-activation
+    maxpool before the FC-4096 layer) buys quadratic flip suppression at the
+    cascade's source for a negligible share of total bootstraps, while the
+    bulky early conv layers stay at the cheap k."""
+    plan = os.environ.get("REDSEC_MAJORITY_PLAN", "")
+    k, frm = majority_config()
+    kk = k if i >= frm else 1
+    if plan:
+        for item in plan.split(","):
+            li, _, lk = item.partition(":")
+            if li.strip() and int(li) == i:
+                kk = int(lk)
+    if kk > 1 and kk % 2 == 0:
+        raise ValueError(f"majority k must be odd (ties), got {kk} @ layer {i}")
+    return kk
+
+
 def _majority_wrap(pbs_fn, params, rerand, i):
     """pbs_fn' that majority-votes sign-type boundaries of layer i (per
     majority_config); identity wrapper when voting is off or out of range."""
-    k, frm = majority_config()
-    if k < 2 or i < frm:
+    k = majority_k_for_layer(i)
+    if k < 2:
         return pbs_fn
     if rerand is None:
         raise ValueError(
@@ -241,28 +263,31 @@ def build_staged_forward(
         for i, layer in enumerate(model.layers) if layer.maxpool is not None
     }
 
-    # majority-voted sign boundaries (REDSEC_MAJORITY): jitted stage-1
-    # replicate / vote-sum glue around two pbs_host dispatches per boundary
-    maj_k, maj_from = majority_config()
-    if maj_k > 1 and dkey.rerand is None:
+    # majority-voted sign boundaries (REDSEC_MAJORITY / _PLAN): jitted
+    # stage-1 replicate / vote-sum glue around two pbs_host dispatches per
+    # boundary; one jitted pair per distinct k in the per-layer plan
+    maj_ks = {i: majority_k_for_layer(i) for i in range(len(model.layers))}
+    if max(maj_ks.values(), default=1) > 1 and dkey.rerand is None:
         raise ValueError(
             "REDSEC_MAJORITY needs a re-randomization pool on the cloud key "
             "(keygen now always emits CloudKey.rerand)")
-    stage1_fn = jax.jit(
-        lambda ct, salt: eops.majority_stage1_pre(
-            ct, params, maj_k, dkey.rerand, salt),
-        static_argnums=1) if maj_k > 1 else None
-    vote_sum_fn = jax.jit(
-        lambda v: eops.majority_vote_sum(v, maj_k)) if maj_k > 1 else None
+    stage1_fns = {
+        k: jax.jit(lambda ct, salt, k=k: eops.majority_stage1_pre(
+               ct, params, k, dkey.rerand, salt), static_argnums=1)
+        for k in sorted(set(maj_ks.values())) if k > 1}
+    vote_sum_fns = {
+        k: jax.jit(lambda v, k=k: eops.majority_vote_sum(v, k))
+        for k in stage1_fns}
 
     def pbs_sign(ct_flat, tv, i):
         """Sign-type boundary dispatch: plain PBS, or (k stage-1 votes ->
         leveled majority -> stage-2 PBS) when voting is engaged."""
-        if maj_k < 2 or i < maj_from:
+        k = maj_ks[i]
+        if k < 2:
             return pbs_host(ct_flat, tv)
-        copies, tv1 = stage1_fn(ct_flat, i)
+        copies, tv1 = stage1_fns[k](ct_flat, i)
         votes = pbs_host(copies, tv1)
-        return pbs_host(vote_sum_fn(votes), tv)
+        return pbs_host(vote_sum_fns[k](votes), tv)
 
     def forward(x: jax.Array) -> jax.Array:
         for i, layer in enumerate(model.layers):
@@ -322,11 +347,12 @@ def build_encrypted_forward(
         "biggest": max((s.get("bootstraps", 0)
                         for s in stats.get("layers", [])), default=0),
     }
-    maj_k, _ = majority_config()
-    if maj_k > 1:
+    maj_max = max((majority_k_for_layer(i)
+                   for i in range(len(model.layers))), default=1)
+    if maj_max > 1:
         # voted sign boundaries run k+1 bootstraps per activation; scale the
         # program-size estimates conservatively (relu boundaries don't vote)
-        per_image = {k2: v * (maj_k + 1) for k2, v in per_image.items()}
+        per_image = {k2: v * (maj_max + 1) for k2, v in per_image.items()}
     if jit == "auto":
         # the per-program bootstrap ceiling dominates: a shallow-but-wide net
         # whose biggest layer exceeds pbs_macro must stage regardless of depth

@@ -110,7 +110,8 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
                      pbs_sigma_slots: Optional[float] = None,
                      oracle_trace: Optional[list] = None,
                      exact_layers: Optional[set] = None,
-                     majority: int = 1, majority_from: int = 0):
+                     majority: int = 1, majority_from: int = 0,
+                     majority_plan: Optional[Dict[int, int]] = None):
     """One Monte-Carlo rollout of the encrypted pipeline.
 
     ``x``: converted pixels int [B, H, W, C] (unencoded).  ``info``: the
@@ -125,7 +126,9 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
     independent MOD-SWITCH rounding (the accumulated ciphertext noise stays
     common — it lives in the value) are sign-bootstrapped and merged by a
     homomorphic majority (stage-2 PBS at >=8 sigma margin, modeled exact).
-    Engages on boundaries with layer index >= ``majority_from``."""
+    Engages on boundaries with layer index >= ``majority_from``.
+    ``majority_plan`` {layer: k} overrides the global k per layer (mirrors
+    the runtime's REDSEC_MAJORITY_PLAN)."""
     import jax.numpy as jnp
 
     from ..ops.encrypted import (
@@ -139,7 +142,12 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
     sim = _Sim(p, rng, pbs_sigma_slots)
     B = x.shape[0]
 
-    def sign_read(phase, tv, var_in, engage):
+    def _maj_k(i):
+        if majority_plan and i in majority_plan:
+            return majority_plan[i]
+        return majority if i >= majority_from else 1
+
+    def sign_read(phase, tv, var_in, k):
         """One sign-type PBS read, majority-voted over k re-randomized
         copies (ops/encrypted.py:majority_pbs).  The accumulated-ciphertext
         noise lives in the VALUE and is common to every copy (re-
@@ -148,7 +156,7 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
         so majority == sign of the sum; ties are impossible for odd k.  The
         stage-2 bootstrap (margin MAJORITY_G1 ~ 8 sigma) is modeled exact;
         its fresh output noise is the var reset the caller applies."""
-        if majority <= 1 or not engage:
+        if k <= 1:
             out, _ = sim.pbs(phase, tv, var_in)
             return out
         sig_common = np.sqrt(np.asarray(var_in, np.float64))
@@ -156,7 +164,7 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
         if getattr(sim, "exact", False):
             eta_c = np.zeros_like(eta_c)
         acc = None
-        for _ in range(majority):
+        for _ in range(k):
             # independent mod-switch rounding per re-randomized copy (the
             # zero-encryption's own noise, alpha_enc*msize ~ 0.13 units, is
             # folded into sig_ms' dominance and neglected)
@@ -201,7 +209,7 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
             phase = (x + (q.bias.astype(np.int64) + tie) * r.in_gain
                      + _center_units(r))
             tv = _decode_tv(const_test_vector(p, ov, msize), msize)
-            x = sign_read(phase, tv, var, i >= majority_from)
+            x = sign_read(phase, tv, var, _maj_k(i))
             var = np.full(q.depth, sim.var_pbs)
             if oracle_trace is not None:
                 oref = oracle_trace[i]["quant"]  # +-1
@@ -248,7 +256,7 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
             phase = s + ((cntm - 1) * V)[None, :, :, None]
             w = mp.window[0] * mp.window[1]
             tv = _decode_tv(const_test_vector(p, r.out_gain, msize), msize)
-            x = sign_read(phase, tv, var * w, i >= majority_from)
+            x = sign_read(phase, tv, var * w, _maj_k(i))
             var = np.full(x.shape[-1], sim.var_pbs)
             if oracle_trace is not None:
                 stats[f"L{i}.mp"] = _flip(x // r.out_gain,
@@ -309,7 +317,8 @@ def agreement_estimate(model: ModelPlan, x: np.ndarray, params: TfheParams,
                        info, trials: int = 5, seed: int = 0,
                        pbs_sigma_slots: Optional[float] = None,
                        per_layer: bool = False,
-                       majority: int = 1, majority_from: int = 0):
+                       majority: int = 1, majority_from: int = 0,
+                       majority_plan: Optional[Dict[int, int]] = None):
     """Monte-Carlo oracle-agreement estimate over ``trials`` rollouts.
 
     Returns dict with mean/min agreement and (optionally) per-layer flip
@@ -327,7 +336,8 @@ def agreement_estimate(model: ModelPlan, x: np.ndarray, params: TfheParams,
         scores, stats = simulate_forward(model, x, params, info, rng,
                                          pbs_sigma_slots, trace,
                                          majority=majority,
-                                         majority_from=majority_from)
+                                         majority_from=majority_from,
+                                         majority_plan=majority_plan)
         agrees.append(float((scores.argmax(1) == ptxt_preds).mean()))
         for k, v in stats.items():
             layer_rates.setdefault(k, []).append(v["rate"])

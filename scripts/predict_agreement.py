@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--majority-from", type=int, default=0,
                     help="first layer index whose sign boundary replicates "
                          "the stream (earlier boundaries run single-PBS)")
+    ap.add_argument("--majority-plan", default="",
+                    help="per-layer vote counts 'i:k,j:k' overriding the "
+                         "global --majority (mirrors REDSEC_MAJORITY_PLAN)")
     ap.add_argument("--no-range-check", action="store_true",
                     help="resolve with strict=False (mirror the runner's "
                          "flag): forecast nets whose margins trip the "
@@ -119,14 +122,20 @@ def main():
 
     exact = (set(int(s) for s in args.exact_layers.split(",") if s != "")
              or None)
+    mplan = {int(i): int(k) for i, _, k in
+             (it.partition(":") for it in args.majority_plan.split(","))
+             if i.strip()} or None
     if exact is None:
         res = ns.agreement_estimate(plan, x, params, info, trials=args.trials,
                                     seed=args.seed, per_layer=args.per_layer,
                                     majority=args.majority,
-                                    majority_from=args.majority_from)
+                                    majority_from=args.majority_from,
+                                    majority_plan=mplan)
         if args.majority > 1:
             res["majority"] = args.majority
             res["majority_from"] = args.majority_from
+        if mplan:
+            res["majority_plan"] = {str(i): k for i, k in sorted(mplan.items())}
     else:
         trace = ns.trace_oracle(plan, x)
         agrees, layer_rates = [], {}

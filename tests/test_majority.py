@@ -151,6 +151,64 @@ def test_majority_missing_pool_raises(keys, monkeypatch):
         fwd(jnp.zeros((1, 8, 8, 1, TEST_NOISELESS.n + 1), jnp.int32))
 
 
+def test_majority_plan_resolution(monkeypatch):
+    """REDSEC_MAJORITY_PLAN overrides the global k per layer index."""
+    from redsec_tpu.runtime.encrypted import majority_k_for_layer
+
+    monkeypatch.setenv("REDSEC_MAJORITY", "3")
+    monkeypatch.setenv("REDSEC_MAJORITY_FROM", "1")
+    monkeypatch.setenv("REDSEC_MAJORITY_PLAN", "0:5, 2:1")
+    assert majority_k_for_layer(0) == 5   # plan overrides FROM-gate
+    assert majority_k_for_layer(1) == 3   # global
+    assert majority_k_for_layer(2) == 1   # plan disables
+    monkeypatch.setenv("REDSEC_MAJORITY_PLAN", "1:4")
+    with pytest.raises(ValueError, match="odd"):
+        majority_k_for_layer(1)
+
+
+def test_majority_plan_staged_forward(keys, monkeypatch):
+    """Staged forward with a mixed per-layer plan (k=3 on layer 0 only)
+    decodes identically to the plain forward on noiseless keys."""
+    sk, _, dkey = keys
+    params = TEST_NOISELESS
+    rng = np.random.default_rng(2)
+    spec, blob = make_mini_sign_net(rng)
+    plan = prep_model(spec, blob)
+    x = rng.integers(-15, 16, size=(2, 8, 8, 1)).astype(np.int32)
+    rr.calibrate_ranges(plan, x)
+    monkeypatch.setenv("REDSEC_INPUT_GAIN", "1")
+    fwd = build_encrypted_forward(plan, dkey, jit="staged", range_check=False)
+    info = rr.resolve_pbs_ranges(plan, params.msg_space, input_gain=True,
+                                 sigma_units=params.mod_switch_sigma_units(),
+                                 strict=False)
+    ct = jnp.asarray(encrypt_images(sk, x, params, np.random.default_rng(8),
+                                    gain=model_in_gain(info)))
+    plain = decrypt_scores(sk, np.asarray(fwd(ct)), params, fwd.out_gain)
+    monkeypatch.setenv("REDSEC_MAJORITY_PLAN", "0:3")
+    fwd2 = build_encrypted_forward(plan, dkey, jit="staged", range_check=False)
+    voted = decrypt_scores(sk, np.asarray(fwd2(ct)), params, fwd2.out_gain)
+    np.testing.assert_array_equal(voted, plain)
+
+
+def test_sim_majority_plan_matches_global():
+    """A plan assigning k to every layer must reproduce the global-k
+    simulation exactly (same seed, same draws)."""
+    from redsec_tpu.utils.noise_sim import agreement_estimate
+
+    rng = np.random.default_rng(3)
+    spec, blob = make_mini_sign_net(rng)
+    plan = prep_model(spec, blob)
+    x = rng.integers(-15, 16, size=(8, 8, 8, 1)).astype(np.int32)
+    rr.calibrate_ranges(plan, x)
+    p = get_params("small_v2_tpu")
+    info = rr.resolve_pbs_ranges(plan, p.msg_space, input_gain=True,
+                                 sigma_units=p.mod_switch_sigma_units())
+    a_g = agreement_estimate(plan, x, p, info, trials=4, seed=2, majority=3)
+    a_p = agreement_estimate(plan, x, p, info, trials=4, seed=2,
+                             majority_plan={i: 3 for i in range(len(plan.layers))})
+    assert a_g["agreement_mean"] == a_p["agreement_mean"]
+
+
 def test_sim_majority_improves_noisy_agreement():
     """Under real small_v2_tpu noise the simulator must show majority-3 >=
     single-PBS agreement on the mini net (the mechanism's whole purpose)."""
