@@ -179,9 +179,26 @@ def build_forward_impl(
     return forward
 
 
+def escalation_config() -> tuple[set, str]:
+    """(layer set, params name) for per-boundary parameter escalation.
+
+    REDSEC_ESCALATE="6,7" routes those layers' sign-type PBS boundaries
+    through a SECOND prepared cloud key at REDSEC_ESCALATE_PARAMS geometry
+    (default small_v2_n2048: same n=350 LWE dimension and 4096 message
+    space, but N=2048 — half the mod-switch sigma).  Same-seed keygen draws
+    the identical client LWE key for both sets, so ciphertexts are
+    interchangeable between the two keys' bootstraps; only the boundaries
+    whose margins are sub-noise pay the ~7.5x slower big-N bootstrap.  No
+    reference analogue (its parameter set is fixed per build,
+    client/gen_secure_keyset.cpp:94-97)."""
+    spec = os.environ.get("REDSEC_ESCALATE", "")
+    layers = {int(s) for s in spec.split(",") if s.strip()}
+    return layers, os.environ.get("REDSEC_ESCALATE_PARAMS", "small_v2_n2048")
+
+
 def build_staged_forward(
     model: ModelPlan, dkey: DeviceCloudKey, pbs_chunk: int = 512,
-    pbs_macro: int = 16384, info=None,
+    pbs_macro: int = 16384, info=None, escalate=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Encrypted forward with HOST-level PBS macro-batching.
 
@@ -191,32 +208,63 @@ def build_staged_forward(
     whose single-layer activation counts exceed what one device program can
     hold on this backend (CIFAR conv layers: 65k+ bootstraps — the worker
     crashes above ~32k per program); also keeps every compiled program small.
+
+    ``escalate``: optional ``(layer_set, DeviceCloudKey)`` routing those
+    layers' sign-type PBS through the second key (see escalation_config).
     """
     from ..crypto.bootstrap import _key_material, make_chunked_impl
 
     params, plan = dkey.params, dkey.plan
     if info is None:
         info = _resolve_info(model, params)
-    key_arg = _key_material(dkey)
-    pbs_impl = jax.jit(
-        make_chunked_impl(params, plan, chunk=pbs_chunk, bundle=dkey.bundle))
 
-    def pbs_host(ct, tv):
-        m = ct.shape[0]
-        if m <= pbs_macro:
-            return pbs_impl(key_arg, dkey.ksk_limbs, ct, tv)
-        tv_full = jnp.broadcast_to(
-            jnp.asarray(tv, jnp.int32).reshape(-1, params.N), (m, params.N))
-        outs = []
-        for i0 in range(0, m, pbs_macro):
-            sl = ct[i0 : i0 + pbs_macro]
-            tl = tv_full[i0 : i0 + pbs_macro]
-            pad = pbs_macro - sl.shape[0]
-            if pad:
-                sl = jnp.concatenate([sl, jnp.zeros((pad, sl.shape[1]), sl.dtype)])
-                tl = jnp.concatenate([tl, jnp.zeros((pad, params.N), tl.dtype)])
-            outs.append(pbs_impl(key_arg, dkey.ksk_limbs, sl, tl)[: m - i0])
-        return jnp.concatenate(outs, axis=0)
+    def _make_pbs_host(dk, macro):
+        impl = jax.jit(make_chunked_impl(dk.params, dk.plan, chunk=pbs_chunk,
+                                         bundle=dk.bundle))
+        karg = _key_material(dk)
+        N = dk.params.N
+
+        def pbs_host(ct, tv):
+            m = ct.shape[0]
+            if m <= macro:
+                return impl(karg, dk.ksk_limbs, ct, tv)
+            tv_full = jnp.broadcast_to(
+                jnp.asarray(tv, jnp.int32).reshape(-1, N), (m, N))
+            outs = []
+            for i0 in range(0, m, macro):
+                sl = ct[i0 : i0 + macro]
+                tl = tv_full[i0 : i0 + macro]
+                pad = macro - sl.shape[0]
+                if pad:
+                    sl = jnp.concatenate(
+                        [sl, jnp.zeros((pad, sl.shape[1]), sl.dtype)])
+                    tl = jnp.concatenate([tl, jnp.zeros((pad, N), tl.dtype)])
+                outs.append(impl(karg, dk.ksk_limbs, sl, tl)[: m - i0])
+            return jnp.concatenate(outs, axis=0)
+
+        return pbs_host
+
+    pbs_host = _make_pbs_host(dkey, pbs_macro)
+    esc_layers, esc_host = set(), None
+    if escalate is not None:
+        esc_layers, dkey2 = escalate
+        if dkey2.params.msg_space != params.msg_space:
+            raise ValueError("escalation keys must share the message space")
+        for i in esc_layers:
+            if model.layers[i].quant.mode == Activation.RELU:
+                raise ValueError(
+                    f"escalation is sign-type-boundary only; layer {i} "
+                    "is a relu boundary")
+        # big-N programs hit the worker's working-set ceiling sooner: cap
+        # the macro so batch x N stays at the measured-safe envelope
+        macro2 = min(pbs_macro, 4096 * 1024 // dkey2.params.N * 2)
+        esc_host = _make_pbs_host(dkey2, macro2)
+
+    def _params_for(i):
+        return dkey2.params if i in esc_layers else params
+
+    def _host_for(i):
+        return esc_host if i in esc_layers else pbs_host
 
     def _pre_conv(i, layer):
         r = info[i]
@@ -230,8 +278,8 @@ def build_staged_forward(
             if q.mode == Activation.SIGN:
                 ov = (eops.maxpool_sign_value(layer.maxpool, params)
                       if layer.maxpool is not None else r.out_gain)
-                ct, tv = eops.quant_sign_pre(q, x, params, ov, r.in_gain,
-                                             r.tie_break)
+                ct, tv = eops.quant_sign_pre(q, x, _params_for(i), ov,
+                                             r.in_gain, r.tie_break)
                 return ct, tv, x.shape
             if q.mode == Activation.NONE:
                 x = eops.quant_add_bias_enc(q, x, params, r.in_gain)
@@ -258,8 +306,8 @@ def build_staged_forward(
         if layer.quant.mode == Activation.RELU and info[i].relu_mode == "full"
     }
     mpre_fns = {
-        i: jax.jit(lambda x, l=layer, r=info[i]:
-                   eops.maxpool_pre(l.maxpool, x, params, r.out_gain))
+        i: jax.jit(lambda x, l=layer, r=info[i], pp=_params_for(i):
+                   eops.maxpool_pre(l.maxpool, x, pp, r.out_gain))
         for i, layer in enumerate(model.layers) if layer.maxpool is not None
     }
 
@@ -271,23 +319,29 @@ def build_staged_forward(
         raise ValueError(
             "REDSEC_MAJORITY needs a re-randomization pool on the cloud key "
             "(keygen now always emits CloudKey.rerand)")
+    # stage-1 builders are keyed per LAYER: the vote test vector must match
+    # the geometry of the key the votes run through (escalated layers vote
+    # at the big-N geometry)
     stage1_fns = {
-        k: jax.jit(lambda ct, salt, k=k: eops.majority_stage1_pre(
-               ct, params, k, dkey.rerand, salt), static_argnums=1)
-        for k in sorted(set(maj_ks.values())) if k > 1}
+        i: jax.jit(lambda ct, salt, k=k, pp=_params_for(i):
+                   eops.majority_stage1_pre(ct, pp, k, dkey.rerand, salt),
+                   static_argnums=1)
+        for i, k in maj_ks.items() if k > 1}
     vote_sum_fns = {
         k: jax.jit(lambda v, k=k: eops.majority_vote_sum(v, k))
-        for k in stage1_fns}
+        for k in sorted(set(maj_ks.values())) if k > 1}
 
     def pbs_sign(ct_flat, tv, i):
         """Sign-type boundary dispatch: plain PBS, or (k stage-1 votes ->
-        leveled majority -> stage-2 PBS) when voting is engaged."""
+        leveled majority -> stage-2 PBS) when voting is engaged; escalated
+        layers route every read through the big-N key."""
+        host = _host_for(i)
         k = maj_ks[i]
         if k < 2:
-            return pbs_host(ct_flat, tv)
-        copies, tv1 = stage1_fns[k](ct_flat, i)
-        votes = pbs_host(copies, tv1)
-        return pbs_host(vote_sum_fns[k](votes), tv)
+            return host(ct_flat, tv)
+        copies, tv1 = stage1_fns[i](ct_flat, i)
+        votes = host(copies, tv1)
+        return host(vote_sum_fns[k](votes), tv)
 
     def forward(x: jax.Array) -> jax.Array:
         for i, layer in enumerate(model.layers):
@@ -316,7 +370,7 @@ def build_staged_forward(
 
 def build_encrypted_forward(
     model: ModelPlan, dkey: DeviceCloudKey, jit="auto", pbs_chunk: int = 512,
-    pbs_macro: int = 16384, range_check: bool = True,
+    pbs_macro: int = 16384, range_check: bool = True, escalate=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Encrypted forward bound to a device key:
     int32 [B, H, W, C, n+1] -> [B, classes, n+1].
@@ -353,6 +407,9 @@ def build_encrypted_forward(
         # voted sign boundaries run k+1 bootstraps per activation; scale the
         # program-size estimates conservatively (relu boundaries don't vote)
         per_image = {k2: v * (maj_max + 1) for k2, v in per_image.items()}
+    if escalate is not None and jit != "staged":
+        # the second key's dispatch lives in the staged host loop only
+        jit = "staged"
     if jit == "auto":
         # the per-program bootstrap ceiling dominates: a shallow-but-wide net
         # whose biggest layer exceeds pbs_macro must stage regardless of depth
@@ -362,7 +419,8 @@ def build_encrypted_forward(
             jit = True if len(model.layers) < 8 else "layer"
 
     if jit == "staged":
-        forward = build_staged_forward(model, dkey, pbs_chunk, pbs_macro, info)
+        forward = build_staged_forward(model, dkey, pbs_chunk, pbs_macro, info,
+                                       escalate=escalate)
         forward.impl = impl
         forward.mode = "staged"
         forward.out_gain = model_out_gain(info)

@@ -111,7 +111,9 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
                      oracle_trace: Optional[list] = None,
                      exact_layers: Optional[set] = None,
                      majority: int = 1, majority_from: int = 0,
-                     majority_plan: Optional[Dict[int, int]] = None):
+                     majority_plan: Optional[Dict[int, int]] = None,
+                     escalate: Optional[set] = None,
+                     escalate_params: Optional[TfheParams] = None):
     """One Monte-Carlo rollout of the encrypted pipeline.
 
     ``x``: converted pixels int [B, H, W, C] (unencoded).  ``info``: the
@@ -128,7 +130,13 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
     homomorphic majority (stage-2 PBS at >=8 sigma margin, modeled exact).
     Engages on boundaries with layer index >= ``majority_from``.
     ``majority_plan`` {layer: k} overrides the global k per layer (mirrors
-    the runtime's REDSEC_MAJORITY_PLAN)."""
+    the runtime's REDSEC_MAJORITY_PLAN).
+
+    ``escalate`` + ``escalate_params``: per-boundary parameter escalation
+    (runtime REDSEC_ESCALATE): the listed layers' sign-type PBS reads run
+    at ``escalate_params``' geometry — finer 2N rotation grid (halved
+    mod-switch sigma at N=2048) and that set's PBS output noise — while
+    phases/gains stay identical (message spaces must match)."""
     import jax.numpy as jnp
 
     from ..ops.encrypted import (
@@ -141,13 +149,25 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
     msize = p.msg_space
     sim = _Sim(p, rng, pbs_sigma_slots)
     B = x.shape[0]
+    sim_esc = None
+    if escalate:
+        if escalate_params is None or escalate_params.msg_space != msize:
+            raise ValueError("escalate needs escalate_params with the same "
+                             "message space")
+        sim_esc = _Sim(escalate_params, rng)
+
+    def _sim_for(i):
+        return sim_esc if (escalate and i in escalate) else sim
+
+    def _params_for(i):
+        return escalate_params if (escalate and i in escalate) else p
 
     def _maj_k(i):
         if majority_plan and i in majority_plan:
             return majority_plan[i]
         return majority if i >= majority_from else 1
 
-    def sign_read(phase, tv, var_in, k):
+    def sign_read(sim_i, phase, tv, var_in, k):
         """One sign-type PBS read, majority-voted over k re-randomized
         copies (ops/encrypted.py:majority_pbs).  The accumulated-ciphertext
         noise lives in the VALUE and is common to every copy (re-
@@ -157,18 +177,18 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
         stage-2 bootstrap (margin MAJORITY_G1 ~ 8 sigma) is modeled exact;
         its fresh output noise is the var reset the caller applies."""
         if k <= 1:
-            out, _ = sim.pbs(phase, tv, var_in)
+            out, _ = sim_i.pbs(phase, tv, var_in)
             return out
         sig_common = np.sqrt(np.asarray(var_in, np.float64))
-        eta_c = sim.rng.standard_normal(phase.shape) * sig_common
-        if getattr(sim, "exact", False):
+        eta_c = sim_i.rng.standard_normal(phase.shape) * sig_common
+        if getattr(sim_i, "exact", False):
             eta_c = np.zeros_like(eta_c)
         acc = None
         for _ in range(k):
             # independent mod-switch rounding per re-randomized copy (the
             # zero-encryption's own noise, alpha_enc*msize ~ 0.13 units, is
             # folded into sig_ms' dominance and neglected)
-            out, _ = sim.pbs(phase + eta_c, tv, 0.0)
+            out, _ = sim_i.pbs(phase + eta_c, tv, 0.0)
             acc = out if acc is None else acc + out
         return np.sign(acc) * np.abs(np.int64(tv[0]))
     # fresh client encryption noise (SECALPHA), in units
@@ -183,6 +203,8 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
         # what-if diagnosis: pretend these layers' bootstraps are noiseless
         # (localizes which boundary bounds the end-to-end agreement)
         sim.exact = exact_layers is not None and i in exact_layers
+        if sim_esc is not None:
+            sim_esc.exact = sim.exact
         if layer.conv is not None:
             cv = layer.conv
             cnt = _conv_counts(cv)  # [K, O]
@@ -208,14 +230,17 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
                    if getattr(r, "tie_break", None) is not None else 0)
             phase = (x + (q.bias.astype(np.int64) + tie) * r.in_gain
                      + _center_units(r))
-            tv = _decode_tv(const_test_vector(p, ov, msize), msize)
-            x = sign_read(phase, tv, var, _maj_k(i))
-            var = np.full(q.depth, sim.var_pbs)
+            tv = _decode_tv(const_test_vector(_params_for(i), ov, msize), msize)
+            x = sign_read(_sim_for(i), phase, tv, var, _maj_k(i))
+            var = np.full(q.depth, _sim_for(i).var_pbs)
             if oracle_trace is not None:
                 oref = oracle_trace[i]["quant"]  # +-1
                 stats[key] = _flip(x // ov, oref)
         elif q.mode == Activation.NONE:
             x = x + q.bias.astype(np.int64) * r.in_gain + _center_units(r)
+        elif escalate and i in escalate:
+            raise NotImplementedError(
+                "escalation is sign-type-boundary only (sign / maxpool)")
         elif r.relu_mode == "quarter":
             tvs = _decode_tv(
                 relu_test_vectors(q, p, r.in_gain, r.out_gain,
@@ -255,9 +280,10 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
                     * ((iw >= 0) & (iw < mp.in_w)).sum(1)[None, :])
             phase = s + ((cntm - 1) * V)[None, :, :, None]
             w = mp.window[0] * mp.window[1]
-            tv = _decode_tv(const_test_vector(p, r.out_gain, msize), msize)
-            x = sign_read(phase, tv, var * w, _maj_k(i))
-            var = np.full(x.shape[-1], sim.var_pbs)
+            tv = _decode_tv(
+                const_test_vector(_params_for(i), r.out_gain, msize), msize)
+            x = sign_read(_sim_for(i), phase, tv, var * w, _maj_k(i))
+            var = np.full(x.shape[-1], _sim_for(i).var_pbs)
             if oracle_trace is not None:
                 stats[f"L{i}.mp"] = _flip(x // r.out_gain,
                                           oracle_trace[i]["maxpool"])
@@ -318,7 +344,9 @@ def agreement_estimate(model: ModelPlan, x: np.ndarray, params: TfheParams,
                        pbs_sigma_slots: Optional[float] = None,
                        per_layer: bool = False,
                        majority: int = 1, majority_from: int = 0,
-                       majority_plan: Optional[Dict[int, int]] = None):
+                       majority_plan: Optional[Dict[int, int]] = None,
+                       escalate: Optional[set] = None,
+                       escalate_params: Optional[TfheParams] = None):
     """Monte-Carlo oracle-agreement estimate over ``trials`` rollouts.
 
     Returns dict with mean/min agreement and (optionally) per-layer flip
@@ -337,7 +365,9 @@ def agreement_estimate(model: ModelPlan, x: np.ndarray, params: TfheParams,
                                          pbs_sigma_slots, trace,
                                          majority=majority,
                                          majority_from=majority_from,
-                                         majority_plan=majority_plan)
+                                         majority_plan=majority_plan,
+                                         escalate=escalate,
+                                         escalate_params=escalate_params)
         agrees.append(float((scores.argmax(1) == ptxt_preds).mean()))
         for k, v in stats.items():
             layer_rates.setdefault(k, []).append(v["rate"])

@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--majority-plan", default="",
                     help="per-layer vote counts 'i:k,j:k' overriding the "
                          "global --majority (mirrors REDSEC_MAJORITY_PLAN)")
+    ap.add_argument("--escalate", default="",
+                    help="comma list of layer indices whose sign-type PBS "
+                         "runs at --escalate-params geometry (mirrors "
+                         "REDSEC_ESCALATE)")
+    ap.add_argument("--escalate-params", default="small_v2_n2048")
     ap.add_argument("--no-range-check", action="store_true",
                     help="resolve with strict=False (mirror the runner's "
                          "flag): forecast nets whose margins trip the "
@@ -125,17 +130,23 @@ def main():
     mplan = {int(i): int(k) for i, _, k in
              (it.partition(":") for it in args.majority_plan.split(","))
              if i.strip()} or None
+    esc = {int(s) for s in args.escalate.split(",") if s.strip()} or None
+    esc_p = get_params(args.escalate_params) if esc else None
     if exact is None:
         res = ns.agreement_estimate(plan, x, params, info, trials=args.trials,
                                     seed=args.seed, per_layer=args.per_layer,
                                     majority=args.majority,
                                     majority_from=args.majority_from,
-                                    majority_plan=mplan)
+                                    majority_plan=mplan,
+                                    escalate=esc, escalate_params=esc_p)
         if args.majority > 1:
             res["majority"] = args.majority
             res["majority_from"] = args.majority_from
         if mplan:
             res["majority_plan"] = {str(i): k for i, k in sorted(mplan.items())}
+        if esc:
+            res["escalate"] = sorted(esc)
+            res["escalate_params"] = args.escalate_params
     else:
         trace = ns.trace_oracle(plan, x)
         agrees, layer_rates = [], {}

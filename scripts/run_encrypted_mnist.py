@@ -94,11 +94,28 @@ def main():
           f"{ {i: (r.in_gain, r.out_gain) for i, r in info.items()} }"
           f" centers: { {i: int(np.abs(r.center).max()) for i, r in info.items() if r.center is not None} }")
 
+    # per-boundary parameter escalation (REDSEC_ESCALATE="6,7"): the listed
+    # layers' sign-type PBS runs through a second cloud key at
+    # REDSEC_ESCALATE_PARAMS geometry; same-seed keygen shares the client
+    # LWE key so ciphertexts are interchangeable between the keys
+    escalate = None
+    from redsec_tpu.runtime.encrypted import escalation_config
+
+    esc_layers, esc_name = escalation_config()
+    if esc_layers:
+        sk2, dkey2 = ensure_keyset(esc_name, seed=0)
+        assert np.array_equal(sk2.lwe_key, sk.lwe_key), \
+            "escalation keyset does not share the client LWE key"
+        escalate = (esc_layers, dkey2)
+        print(f"[{time.time()-t0:6.1f}s] escalation: layers "
+              f"{sorted(esc_layers)} -> {esc_name}")
+
     rng = np.random.default_rng(0)
     fwd = build_encrypted_forward(plan, dkey, jit=args.jit,
                                   pbs_chunk=args.pbs_chunk,
                                   pbs_macro=args.pbs_macro,
-                                  range_check=not args.no_range_check)
+                                  range_check=not args.no_range_check,
+                                  escalate=escalate)
     nb = args.batch or args.images
 
     def run_batch(xb):
