@@ -182,7 +182,8 @@ def build_forward_impl(
 def escalation_config() -> tuple[set, str]:
     """(layer set, params name) for per-boundary parameter escalation.
 
-    REDSEC_ESCALATE="6,7" routes those layers' sign-type PBS boundaries
+    REDSEC_ESCALATE="6,7" routes those layers' PBS boundaries (sign,
+    maxpool-OR, relu quarter/FDFB)
     through a SECOND prepared cloud key at REDSEC_ESCALATE_PARAMS geometry
     (default small_v2_n2048: same n=350 LWE dimension and 4096 message
     space, but N=2048 — half the mod-switch sigma).  Same-seed keygen draws
@@ -250,11 +251,6 @@ def build_staged_forward(
         esc_layers, dkey2 = escalate
         if dkey2.params.msg_space != params.msg_space:
             raise ValueError("escalation keys must share the message space")
-        for i in esc_layers:
-            if model.layers[i].quant.mode == Activation.RELU:
-                raise ValueError(
-                    f"escalation is sign-type-boundary only; layer {i} "
-                    "is a relu boundary")
         # big-N programs hit the worker's working-set ceiling sooner: cap
         # the macro so batch x N stays at the measured-safe envelope
         macro2 = min(pbs_macro, 4096 * 1024 // dkey2.params.N * 2)
@@ -285,12 +281,12 @@ def build_staged_forward(
                 x = eops.quant_add_bias_enc(q, x, params, r.in_gain)
                 return x, None, x.shape
             if r.relu_mode == "quarter":
-                ct, tv = eops.quant_relu_pre(q, x, params, r.in_gain,
+                ct, tv = eops.quant_relu_pre(q, x, _params_for(i), r.in_gain,
                                              r.out_gain, r.center)
                 return ct, tv, x.shape
             # FDFB stage 1: flat (centered) cts + sign tv; forward runs 2/3
-            ct, tv = eops.quant_relu_fdfb_stage1(q, x, params, r.in_gain,
-                                                 r.center)
+            ct, tv = eops.quant_relu_fdfb_stage1(q, x, _params_for(i),
+                                                 r.in_gain, r.center)
             return ct, tv, x.shape
 
         return run
@@ -298,8 +294,8 @@ def build_staged_forward(
     pre_fns = [jax.jit(_pre_conv(i, layer))
                for i, layer in enumerate(model.layers)]
     fdfb_fns = {
-        i: jax.jit(lambda flat, s, q=layer.quant, r=info[i]:
-                   eops.quant_relu_fdfb_stage2(q, flat, s, params,
+        i: jax.jit(lambda flat, s, q=layer.quant, r=info[i], pp=_params_for(i):
+                   eops.quant_relu_fdfb_stage2(q, flat, s, pp,
                                                r.in_gain, r.out_gain,
                                                r.center))
         for i, layer in enumerate(model.layers)
@@ -349,16 +345,18 @@ def build_staged_forward(
             if tv is None:
                 x = ct
             elif i in fdfb_fns:
+                host = _host_for(i)
                 flat = ct  # already [m, n+1] from stage 1
-                s = pbs_host(flat, tv)  # sign bootstrap (+-msize/4)
+                s = host(flat, tv)  # sign bootstrap (+-msize/4)
                 ct2, tvs_o, tvs_e, c_flat = fdfb_fns[i](flat, s)
-                out = pbs_host(flat, tvs_o) + pbs_host(ct2, tvs_e)
+                out = host(flat, tvs_o) + host(ct2, tvs_e)
                 x = out.at[:, -1].add(c_flat).reshape(shape)
             elif layer.quant.mode == Activation.SIGN:
                 x = pbs_sign(ct.reshape(-1, ct.shape[-1]), tv, i).reshape(shape)
             else:
                 # pbs expects flat [m, n+1]; reshape back to the layer shape
-                x = pbs_host(ct.reshape(-1, ct.shape[-1]), tv).reshape(shape)
+                x = _host_for(i)(
+                    ct.reshape(-1, ct.shape[-1]), tv).reshape(shape)
             if layer.maxpool is not None:
                 ct, tv = mpre_fns[i](x)
                 mshape = ct.shape

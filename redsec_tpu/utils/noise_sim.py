@@ -133,10 +133,11 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
     the runtime's REDSEC_MAJORITY_PLAN).
 
     ``escalate`` + ``escalate_params``: per-boundary parameter escalation
-    (runtime REDSEC_ESCALATE): the listed layers' sign-type PBS reads run
-    at ``escalate_params``' geometry — finer 2N rotation grid (halved
-    mod-switch sigma at N=2048) and that set's PBS output noise — while
-    phases/gains stay identical (message spaces must match)."""
+    (runtime REDSEC_ESCALATE): the listed layers' PBS reads (sign, maxpool,
+    relu quarter/FDFB) run at ``escalate_params``' geometry — finer 2N
+    rotation grid (halved mod-switch sigma at N=2048) and that set's PBS
+    output noise — while phases/gains stay identical (message spaces must
+    match)."""
     import jax.numpy as jnp
 
     from ..ops.encrypted import (
@@ -238,31 +239,32 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
                 stats[key] = _flip(x // ov, oref)
         elif q.mode == Activation.NONE:
             x = x + q.bias.astype(np.int64) * r.in_gain + _center_units(r)
-        elif escalate and i in escalate:
-            raise NotImplementedError(
-                "escalation is sign-type-boundary only (sign / maxpool)")
         elif r.relu_mode == "quarter":
+            sim_i, p_i = _sim_for(i), _params_for(i)
             tvs = _decode_tv(
-                relu_test_vectors(q, p, r.in_gain, r.out_gain,
+                relu_test_vectors(q, p_i, r.in_gain, r.out_gain,
                                   center=getattr(r, "center", None)), msize)
             phase = x + _center_units(r) + msize // 4
-            x, _ = sim.pbs(phase, tvs, var)
-            var = np.full(q.depth, sim.var_pbs)
+            x, _ = sim_i.pbs(phase, tvs, var)
+            var = np.full(q.depth, sim_i.var_pbs)
             if oracle_trace is not None:
                 stats[key] = _flip(x // r.out_gain, oracle_trace[i]["quant"])
         else:  # FDFB full-range relu
+            sim_i, p_i = _sim_for(i), _params_for(i)
             tv_o, tv_e, c = relu_fdfb_test_vectors(
-                q, p, r.in_gain, r.out_gain, center=getattr(r, "center", None))
+                q, p_i, r.in_gain, r.out_gain,
+                center=getattr(r, "center", None))
             tv_o, tv_e = _decode_tv(tv_o, msize), _decode_tv(tv_e, msize)
             cu = _decode_tv(c, msize)
-            tv_sign = _decode_tv(const_test_vector(p, msize // 4, msize), msize)
+            tv_sign = _decode_tv(const_test_vector(p_i, msize // 4, msize),
+                                 msize)
             phase = x + _center_units(r)
-            s, eta1 = sim.pbs(phase, tv_sign, var)
-            odd, _ = sim.pbs(phase, tv_o, var, shared_eta=eta1)
+            s, eta1 = sim_i.pbs(phase, tv_sign, var)
+            odd, _ = sim_i.pbs(phase, tv_o, var, shared_eta=eta1)
             ct2 = phase - s + msize // 4
-            even, _ = sim.pbs(ct2, tv_e, var + sim.var_pbs)
+            even, _ = sim_i.pbs(ct2, tv_e, var + sim_i.var_pbs)
             x = odd + even + cu
-            var = np.full(q.depth, 2 * sim.var_pbs)
+            var = np.full(q.depth, 2 * sim_i.var_pbs)
             if oracle_trace is not None:
                 stats[key] = _flip(x // r.out_gain, oracle_trace[i]["quant"])
         if layer.maxpool is not None:

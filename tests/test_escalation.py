@@ -90,6 +90,61 @@ def test_escalated_staged_forward_matches_plain(two_keys, monkeypatch):
     np.testing.assert_array_equal(both, plain)
 
 
+def test_escalated_relu_staged_closer_to_oracle(two_keys):
+    """Relu boundaries (quarter or FDFB) escalate too: the staircase test
+    vector rebuilds at the big-N geometry.  The escalated key reads a 2x
+    finer rotation grid with half the mask mod-switch rounding (the only
+    noise source on these alpha=0 keys), so with everything else identical
+    its decoded scores must sit strictly closer to the plaintext oracle
+    than the plain run's (the same relationship the production sets have:
+    msize 4096 over 2N=2048 plain vs 2N=4096 escalated).  Deterministic:
+    fixed seeds fix both mask realizations."""
+    from redsec_tpu.formats.varprep import VarPrepWriter
+    from redsec_tpu.models.dims import Dimensions
+    from redsec_tpu.models.spec import (
+        Activation as A, BiasKind, ConvKind, ConvParams, Domain, LayerSpec,
+        ModelSpec, PoolKind,
+    )
+
+    sk, dkey, dkey2 = two_keys
+    params = TEST_NOISELESS
+    rng = np.random.default_rng(4)
+    spec = ModelSpec(
+        "test/relu_escalated",
+        Dimensions(h=1, w=1, in_dep=16, in_bits=3, up_bound=4, scale=1.0),
+        [
+            LayerSpec(Domain.INT, ConvKind.FC, 8, PoolKind.NONE, A.RELU,
+                      BiasKind.BNORM, conv_params=ConvParams(tern_thresh=0.1),
+                      shift_bits=3),
+            LayerSpec(Domain.INT, ConvKind.FC, 3, PoolKind.NONE, A.NONE,
+                      BiasKind.NONE),
+        ],
+    )
+    wr = VarPrepWriter()
+    wr.write_tern(rng.choice([-1, 0, 1], size=16 * 8))
+    wr.write_i32(rng.integers(-64, 64, size=8))
+    wr.write_i32(np.full(8, 16), signed=False)
+    wr.write_tern(rng.choice([-1, 0, 1], size=8 * 3))
+    wr.write_i32(rng.integers(-4, 5, size=3))
+    plan = prep_model(spec, wr.getvalue())
+    x = rng.integers(-1, 2, size=(2, 1, 1, 16)).astype(np.int32)
+    ct = jnp.asarray(encrypt_images(sk, x, params, rng))
+    from redsec_tpu.runtime.ptxt import build_forward
+
+    oracle = np.asarray(build_forward(plan)(jnp.asarray(x)))
+    fwd = build_encrypted_forward(plan, dkey, jit="staged")
+    plain = decrypt_scores(sk, np.asarray(fwd(ct)), params, fwd.out_gain)
+    fwd_esc = build_encrypted_forward(plan, dkey, jit="staged",
+                                      escalate=({0}, dkey2))
+    got = decrypt_scores(sk, np.asarray(fwd_esc(ct)), params,
+                         fwd_esc.out_gain)
+    dev_esc = np.abs(got - oracle).sum()
+    dev_plain = np.abs(plain - oracle).sum()
+    assert dev_esc < dev_plain, (got, plain, oracle)
+    # and the escalated staircase lands within one step everywhere
+    assert np.abs(got - oracle).max() <= 1, (got, oracle)
+
+
 def test_escalation_forces_staged(two_keys):
     sk, dkey, dkey2 = two_keys
     rng = np.random.default_rng(2)
