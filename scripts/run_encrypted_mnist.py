@@ -137,6 +137,8 @@ def main():
         p, step = run_batch(x[i0 : i0 + nb])
         all_preds.append(p)
         dt += step
+        print(f"[{time.time()-t0:6.1f}s] batch {i0 // nb}: {step:.1f}s "
+              f"({step / max(len(p), 1):.1f} s/image)", flush=True)
     preds = np.concatenate(all_preds)[: args.images]
     per_img = dt / args.images
     n_timed = args.images
