@@ -20,6 +20,7 @@ per layer and fails loudly when no implementation is valid.
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 from typing import Dict, List, Optional, Tuple
 
@@ -492,7 +493,27 @@ def resolve_pbs_ranges(
             max_flip = float(os.environ.get("REDSEC_MAX_FLIP", "0.05"))
             local = (r.local_flip_rate if r.local_flip_rate is not None
                      else r.expected_flip_rate)
-            if strict and local > max_flip:
+            # The guard judges the boundary as it will actually run: a
+            # majority-voted PBS (REDSEC_MAJORITY_PLAN) suppresses the
+            # single-copy rate to its binomial tail, and an escalated
+            # boundary (REDSEC_ESCALATE) runs at the bigger-N geometry
+            # whose halved mod-switch sigma the escalation exists for —
+            # without this, a planned CIFAR run trips the guard on the
+            # very layer its plan fixes.
+            from redsec_tpu.runtime.encrypted import (
+                escalation_config, majority_k_for_layer)
+            k = majority_k_for_layer(i)
+            if k > 1 and local is not None:
+                m = (k + 1) // 2
+                local = float(sum(
+                    math.comb(k, j) * local**j * (1.0 - local)**(k - j)
+                    for j in range(m, k + 1)))
+            if i in escalation_config()[0]:
+                # sigma halves at N=2048: flips are dominated by the
+                # Gaussian tail at the step edges, so the rate at least
+                # halves; the guard only needs a sound upper bound
+                local = None if local is None else local / 2.0
+            if strict and local is not None and local > max_flip:
                 raise ValueError(
                     f"layer {i} ({model.spec.name}): predicted per-activation "
                     f"flip rate {local:.3f} exceeds "

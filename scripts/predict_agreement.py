@@ -52,6 +52,11 @@ def main():
                          "runs at --escalate-params geometry (mirrors "
                          "REDSEC_ESCALATE)")
     ap.add_argument("--escalate-params", default="small_v2_n2048")
+    ap.add_argument("--unit-gains", action="store_true",
+                    help="forecast with encoding gains disabled (the "
+                         "reference's hardwired +-1 message convention, "
+                         "lib/BinOps_enc.cpp:182-186) — the mechanism-off "
+                         "baseline")
     ap.add_argument("--no-range-check", action="store_true",
                     help="resolve with strict=False (mirror the runner's "
                          "flag): forecast nets whose margins trip the "
@@ -89,6 +94,7 @@ def main():
     calibrate_ranges(plan, x)
     info = resolve_pbs_ranges(
         plan, params.msg_space, strict=not args.no_range_check,
+        gains=not args.unit_gains,
         input_gain=os.environ.get("REDSEC_INPUT_GAIN", "0") == "1",
         sigma_units=params.mod_switch_sigma_units())
     efr = {i: round(r.expected_flip_rate, 5) for i, r in info.items()
