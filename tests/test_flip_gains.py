@@ -135,6 +135,35 @@ def test_tiebreak_disable_env(monkeypatch):
     assert any(r.tie_break is not None for r in info_tb.values())
 
 
+def test_max_flip_guard_is_vote_and_escalation_aware(monkeypatch):
+    """The strict guard judges the boundary AS IT WILL RUN: a majority plan
+    suppresses the single-copy local rate to its binomial tail, and an
+    escalated boundary runs at halved mod-switch sigma.  Without this, a
+    planned run dies at range resolution on the very layer its plan fixes
+    (the round-3 CIFAR launches, results/tpu_r3_cifar_b.log)."""
+    plan, _ = _calibrated_mini_net()
+    base = rr.resolve_pbs_ranges(plan, 4096, strict=False, input_gain=True,
+                                 sigma_units=8.0)
+    max_local = max(r.local_flip_rate for r in base.values()
+                    if r.local_flip_rate is not None)
+    assert max_local > 0
+    # single-PBS trips a guard set just under the net's own worst rate ...
+    monkeypatch.setenv("REDSEC_MAX_FLIP", str(0.9 * max_local))
+    with pytest.raises(ValueError, match="flip rate"):
+        rr.resolve_pbs_ranges(plan, 4096, input_gain=True, sigma_units=8.0)
+    # ... a maj-3 vote on every sign boundary collapses it (binomial tail)
+    monkeypatch.setenv("REDSEC_MAJORITY", "3")
+    rr.resolve_pbs_ranges(plan, 4096, input_gain=True, sigma_units=8.0)
+    monkeypatch.delenv("REDSEC_MAJORITY")
+    # ... and escalation's sigma-halving passes a 0.6x guard single-voted
+    monkeypatch.setenv("REDSEC_MAX_FLIP", str(0.6 * max_local))
+    with pytest.raises(ValueError, match="flip rate"):
+        rr.resolve_pbs_ranges(plan, 4096, input_gain=True, sigma_units=8.0)
+    monkeypatch.setenv("REDSEC_ESCALATE",
+                       ",".join(str(i) for i in range(len(plan.layers))))
+    rr.resolve_pbs_ranges(plan, 4096, input_gain=True, sigma_units=8.0)
+
+
 def test_max_flip_guard_judges_local_rate(monkeypatch):
     """The strict guard must trip on an impossible message-space fit (huge
     sigma) and must NOT trip merely because the modeled cascade is large."""
