@@ -6,7 +6,15 @@
 # diagnosis L7/L8 cascade-dominated: the shipped binarynet_small weights
 # are near-random (plaintext oracle accuracy 0.188 on these rows), so deep
 # margins are sub-noise — this run validates the simulator's forecast at
-# n>=16, which carries the margin analysis.
+# n>=16, which carries the margin analysis (PERFORMANCE.md round-3 CIFAR
+# section).
+#
+# REDSEC_MAX_FLIP is raised DELIBERATELY: binarynet_small's hotspot
+# boundary exceeds the default 5% local-flip guard at every shipped
+# geometry because the weights' own margins are sub-noise (sigma-halving
+# moves it barely — see the margin analysis); the guard would otherwise
+# correctly refuse a run whose purpose is to measure exactly that.
+# Budget: ~16 x 305 s/image ~ 82 min at the r2 staged throughput.
 # Run SOLO. Appends to results/tpu_r3_cifar_a.log.
 set -u
 cd "$(dirname "$0")/.."
@@ -21,6 +29,7 @@ run() {
 }
 
 export REDSEC_INPUT_GAIN=1
+export REDSEC_MAX_FLIP=0.25
 
 run "cifar binarynet_small 16img plain+gains" python scripts/run_encrypted_mnist.py \
     --images 16 --batch 4 --model cifar/binarynet_small \
