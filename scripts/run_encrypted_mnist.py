@@ -129,9 +129,17 @@ def main():
                                 getattr(fwd, 'out_gain', 1))
         return scores.argmax(1), time.time() - t1
 
-    # first batch pays compilation; rerun it warm so timing is clean
-    _, t_compile = run_batch(x[:nb])
-    print(f"[{time.time()-t0:6.1f}s] first (compile+run) batch: {t_compile:.1f}s")
+    # first batch pays compilation; rerun it warm so timing is clean.
+    # REDSEC_TIME_MODE=cold skips the warm-up pass: the timed loop's first
+    # batch then INCLUDES compilation (s/image is compile-inflated; the
+    # RESULT line says so).  Used for session-budgeted flagship runs where
+    # oracle agreement is the deliverable and the steady-state throughput
+    # is already established (e.g. CIFAR staged at 864 boots/s, round 2).
+    cold = os.environ.get("REDSEC_TIME_MODE") == "cold"
+    if not cold:
+        _, t_compile = run_batch(x[:nb])
+        print(f"[{time.time()-t0:6.1f}s] first (compile+run) batch: "
+              f"{t_compile:.1f}s")
     all_preds, dt = [], 0.0
     for i0 in range(0, args.images, nb):
         p, step = run_batch(x[i0 : i0 + nb])
@@ -153,7 +161,8 @@ def main():
     print(f"labels:          {labels.tolist()}")
     print(f"RESULT model={args.model} params={args.params} images={args.images} "
           f"s_per_image={per_img:.3f} bootstraps_per_s={boots_rate:.0f} "
-          f"oracle_agreement={agree:.3f} accuracy={acc:.3f}")
+          f"oracle_agreement={agree:.3f} accuracy={acc:.3f}"
+          + (" timing=cold(compile-inclusive)" if cold else ""))
 
 
 if __name__ == "__main__":
