@@ -12,6 +12,14 @@ Prints ONE JSON line. ``vs_baseline`` is the headline rate divided by the
 analytic VPU ROOFLINE for the headline parameter set (BASELINE.md target:
 >= 80% of roofline), computed by the op-count model below — not a
 hand-picked constant. ``points`` carries every measured point.
+
+Anchor fields (definitions; same wording in PERFORMANCE.md):
+- ``achieved_vpu_fraction`` = measured int32 FMA-chain rate / the 4e12
+  int-ops/s spec denominator the roofline assumes — the fraction of the
+  assumed VPU THIS backend reaches on any code, measured in-session.
+- ``vs_achievable`` = vs_baseline / achieved_vpu_fraction — the bootstrap
+  rate relative to the VPU-anchored achievable roofline.  The pair drifts
+  together across sessions; quote them from one session.
 """
 
 import json

@@ -17,7 +17,9 @@ is a [.., 128] x [128, 128] MXU matmul, exact via 8-bit limbs in bf16
 (crypto/ntt_matmul.py's argument).  All modular arithmetic is the same
 int32 + fp32-reciprocal reduction as the XLA path, so results are bit-exact.
 
-Enabled with REDSEC_ROUND_KERNEL=1 (default on TPU backends).
+Enabled with REDSEC_ROUND_KERNEL=1 (off by default: the XLA formulation
+stays the default per the keep-or-cut policy, PERFORMANCE.md — this
+backend's Mosaic lowering runs ~3x below its XLA fusions).
 """
 
 from __future__ import annotations

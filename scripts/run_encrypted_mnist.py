@@ -135,6 +135,10 @@ def main():
     # RESULT line says so).  Used for session-budgeted flagship runs where
     # oracle agreement is the deliverable and the steady-state throughput
     # is already established (e.g. CIFAR staged at 864 boots/s, round 2).
+    # Caveat (ADVICE r3): the persistent jax_compilation_cache_dir set
+    # above can absorb part or all of compilation depending on prior runs,
+    # so "cold" timing is NOT reproducible across cache states — treat it
+    # as an upper bound on warm timing, not a defined quantity.
     cold = os.environ.get("REDSEC_TIME_MODE") == "cold"
     if not cold:
         _, t_compile = run_batch(x[:nb])

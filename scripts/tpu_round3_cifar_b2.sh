@@ -6,7 +6,7 @@
 # first 2-image staged batch compiles+runs in ~2011 s, results/
 # tpu_r3_cifar_b.log); it completes the measured-flagship row in
 # PERFORMANCE.md.  Run SOLO.  Writes results/tpu_r3_cifar_b2.log.
-set -u
+set -u -o pipefail  # EXIT= line must reflect python/timeout, not tail
 cd "$(dirname "$0")/.."
 log=results/tpu_r3_cifar_b2.log
 : > "$log"
