@@ -502,17 +502,35 @@ def resolve_pbs_ranges(
             # very layer its plan fixes.
             from redsec_tpu.runtime.encrypted import (
                 escalation_config, majority_k_for_layer)
+            esc_layers, esc_name = escalation_config()
+            if i in esc_layers and local is not None:
+                # An escalated boundary runs at the bigger-N geometry, so
+                # judge it at THAT geometry's sigma.  Recompute the rate
+                # from the boundary's own margin histogram at the run's
+                # actual gain — do NOT assume the rate halves when sigma
+                # halves: margin-limited boundaries are sigma-INSENSITIVE
+                # (measured: CIFAR L6 local rate 0.298 -> 0.282 under
+                # halved sigma, results/isolate_full_n2048.log), so the
+                # old local/2 heuristic could understate the escalated
+                # rate ~2x and pass a config that still flips
+                # (VERDICT r3 weak #2; regression: tests/test_ranges.py).
+                h = _sign_hist(i)
+                if h is not None:
+                    from ..crypto.params import get_params
+
+                    ep = get_params(esc_name)
+                    _, local = _flip_optimal_gain(
+                        h, ep.mod_switch_sigma_units(), ep.msg_space // 2,
+                        lam=0.0, g_fixed=max(ranges[i].in_gain, 1))
+                # no histogram (relu staircase / maxpool): keep the
+                # UNescalated rate — a sound bound, since shrinking sigma
+                # cannot raise the in-budget flip terms
             k = majority_k_for_layer(i)
             if k > 1 and local is not None:
                 m = (k + 1) // 2
                 local = float(sum(
                     math.comb(k, j) * local**j * (1.0 - local)**(k - j)
                     for j in range(m, k + 1)))
-            if i in escalation_config()[0]:
-                # sigma halves at N=2048: flips are dominated by the
-                # Gaussian tail at the step edges, so the rate at least
-                # halves; the guard only needs a sound upper bound
-                local = None if local is None else local / 2.0
             if strict and local is not None and local > max_flip:
                 raise ValueError(
                     f"layer {i} ({model.spec.name}): predicted per-activation "

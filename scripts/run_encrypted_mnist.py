@@ -30,7 +30,15 @@ def main():
     ap.add_argument("--pbs-macro", type=int, default=16384)
     ap.add_argument("--no-range-check", action="store_true",
                     help="accept reference-style silent wrapping (toy params)")
+    ap.add_argument("--checkpoint", default="",
+                    help="JSON path: per-batch decrypted results persisted "
+                         "after every batch, so a killed session resumes at "
+                         "the next batch (VERDICT r3 #5: multi-hour CIFAR "
+                         "runs vs session timeouts). Encryption randomness "
+                         "is derived per batch index, so resumed batches "
+                         "are bit-identical to an uninterrupted run.")
     args = ap.parse_args()
+    import json
 
     import jax
 
@@ -110,7 +118,6 @@ def main():
         print(f"[{time.time()-t0:6.1f}s] escalation: layers "
               f"{sorted(esc_layers)} -> {esc_name}")
 
-    rng = np.random.default_rng(0)
     fwd = build_encrypted_forward(plan, dkey, jit=args.jit,
                                   pbs_chunk=args.pbs_chunk,
                                   pbs_macro=args.pbs_macro,
@@ -118,16 +125,51 @@ def main():
                                   escalate=escalate)
     nb = args.batch or args.images
 
-    def run_batch(xb):
+    def run_batch(xb, i0=0):
         """Encrypt -> cloud forward -> decrypt; the host fetch inside
         decrypt forces completion (block_until_ready is unreliable on
-        remote-execution backends). Returns (preds, seconds)."""
+        remote-execution backends). Returns (preds, seconds).  Encryption
+        randomness is seeded by the batch's first image index, so any
+        batch's ciphertexts are reproducible in isolation (resume)."""
+        rng = np.random.default_rng(1_000_003 + i0)
         ct = jnp.asarray(encrypt_images(sk, xb, dkey.params, rng,
                                         gain=getattr(fwd, "in_gain", 1)))
         t1 = time.time()
         scores = decrypt_scores(sk, np.asarray(fwd(ct)), dkey.params,
                                 getattr(fwd, 'out_gain', 1))
         return scores.argmax(1), time.time() - t1
+
+    # per-batch checkpoint/resume: results live in a JSON file keyed by
+    # batch start index, fingerprinted by the run configuration so a stale
+    # file cannot silently mix configurations
+    fingerprint = {
+        "model": args.model, "params": args.params, "images": args.images,
+        "batch": nb, "jit": args.jit,
+        "input_gain": os.environ.get("REDSEC_INPUT_GAIN", "0"),
+        "majority_plan": os.environ.get("REDSEC_MAJORITY_PLAN", ""),
+        "escalate": os.environ.get("REDSEC_ESCALATE", ""),
+        "varprep": vp,
+    }
+    ck = {"fingerprint": fingerprint, "batches": {}}
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        with open(args.checkpoint) as f:
+            prev = json.load(f)
+        if prev.get("fingerprint") != fingerprint:
+            raise SystemExit(
+                f"checkpoint {args.checkpoint} was written by a different "
+                f"configuration:\n  {prev.get('fingerprint')}\nvs\n  {fingerprint}")
+        ck = prev
+        done = sorted(int(k) for k in ck["batches"])
+        print(f"[{time.time()-t0:6.1f}s] resuming: "
+              f"{len(done)} batch(es) already done {done}")
+
+    def save_checkpoint():
+        if not args.checkpoint:
+            return
+        tmp = args.checkpoint + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ck, f)
+        os.replace(tmp, args.checkpoint)
 
     # first batch pays compilation; rerun it warm so timing is clean.
     # REDSEC_TIME_MODE=cold skips the warm-up pass: the timed loop's first
@@ -140,17 +182,26 @@ def main():
     # so "cold" timing is NOT reproducible across cache states — treat it
     # as an upper bound on warm timing, not a defined quantity.
     cold = os.environ.get("REDSEC_TIME_MODE") == "cold"
-    if not cold:
-        _, t_compile = run_batch(x[:nb])
+    pending = [i0 for i0 in range(0, args.images, nb)
+               if str(i0) not in ck["batches"]]
+    if not cold and pending:
+        _, t_compile = run_batch(x[pending[0] : pending[0] + nb], pending[0])
         print(f"[{time.time()-t0:6.1f}s] first (compile+run) batch: "
               f"{t_compile:.1f}s")
-    all_preds, dt = [], 0.0
+    all_preds, dt, n_resumed = [], 0.0, 0
     for i0 in range(0, args.images, nb):
-        p, step = run_batch(x[i0 : i0 + nb])
+        if str(i0) in ck["batches"]:
+            rec = ck["batches"][str(i0)]
+            p, step = np.asarray(rec["preds"]), rec["secs"]
+            n_resumed += 1
+        else:
+            p, step = run_batch(x[i0 : i0 + nb], i0)
+            ck["batches"][str(i0)] = {"preds": p.tolist(), "secs": step}
+            save_checkpoint()
+            print(f"[{time.time()-t0:6.1f}s] batch {i0 // nb}: {step:.1f}s "
+                  f"({step / max(len(p), 1):.1f} s/image)", flush=True)
         all_preds.append(p)
         dt += step
-        print(f"[{time.time()-t0:6.1f}s] batch {i0 // nb}: {step:.1f}s "
-              f"({step / max(len(p), 1):.1f} s/image)", flush=True)
     preds = np.concatenate(all_preds)[: args.images]
     per_img = dt / args.images
     n_timed = args.images
@@ -166,7 +217,8 @@ def main():
     print(f"RESULT model={args.model} params={args.params} images={args.images} "
           f"s_per_image={per_img:.3f} bootstraps_per_s={boots_rate:.0f} "
           f"oracle_agreement={agree:.3f} accuracy={acc:.3f}"
-          + (" timing=cold(compile-inclusive)" if cold else ""))
+          + (" timing=cold(compile-inclusive)" if cold else "")
+          + (f" resumed_batches={n_resumed}" if n_resumed else ""))
 
 
 if __name__ == "__main__":

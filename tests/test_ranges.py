@@ -137,3 +137,67 @@ def test_encoding_gains_scale_invariant():
         return decrypt_scores(sk, np.asarray(out), TEST_NOISELESS, mog(info))
 
     np.testing.assert_array_equal(run(info_g), run(info_u))
+
+
+def _fc_sign_model():
+    spec = ModelSpec(
+        "test/esc_guard",
+        Dimensions(h=1, w=1, in_dep=16, in_bits=2, up_bound=1, scale=0.5),
+        [
+            LayerSpec(Domain.BIN, ConvKind.FC, 8, PoolKind.NONE,
+                      Activation.SIGN, BiasKind.BNORM,
+                      conv_params=ConvParams(tern_thresh=0.1)),
+            LayerSpec(Domain.BIN, ConvKind.FC_FINAL, 3, PoolKind.NONE,
+                      Activation.NONE, BiasKind.NONE),
+        ],
+    )
+    rng = np.random.default_rng(5)
+    wr = VarPrepWriter()
+    wr.write_tern(rng.choice([-1, 0, 1], size=16 * 8))
+    wr.write_i32(rng.integers(-2, 3, size=8))
+    wr.write_tern(rng.choice([-1, 0, 1], size=8 * 3))
+    wr.write_i32(rng.integers(-2, 3, size=3))
+    return prep_model(spec, wr.getvalue())
+
+
+def _calib(plan, margin):
+    """Craft a sign-boundary margin histogram concentrated at one margin."""
+    cap = 1 << 14
+    hist = np.zeros(cap + 2, dtype=np.int64)
+    hist[margin] = 1000
+    plan.layers[0].sign_calib = {
+        "mask": np.zeros((1, 1, 8), bool), "hist": hist, "hist_raw": hist}
+    plan.layers[0].measured_pre_bound = max(margin, 8)
+    plan.layers[1].measured_pre_bound = 3 * max(margin, 8)
+
+
+def test_escalation_guard_recomputes_at_escalated_sigma(monkeypatch):
+    """VERDICT r3 weak #2: a sigma-INSENSITIVE boundary (margins ~ 0 relative
+    to sigma) does NOT halve its flip rate when escalation halves sigma.
+    Margins all at m=1, base sigma 7.64: base rate Phi(-1/7.64) ~ 0.448.
+    The old heuristic judged 0.448/2 = 0.224 < 0.3 and PASSED; the true
+    rate at the escalated sigma 3.82 is Phi(-1/3.82) ~ 0.397 > 0.3, so the
+    guard must reject — this test fails under the old /2 code."""
+    from redsec_tpu.crypto.params import get_params
+
+    sigma = get_params("small_v2_tpu").mod_switch_sigma_units()
+    sigma_esc = get_params("small_v2_n2048").mod_switch_sigma_units()
+    base = float(rr._phi(np.array(-1.0 / sigma)))
+    esc = float(rr._phi(np.array(-1.0 / sigma_esc)))
+    assert base / 2 < 0.3 < esc  # the under-gating window this test pins
+
+    monkeypatch.setenv("REDSEC_ESCALATE", "0")
+    monkeypatch.setenv("REDSEC_ESCALATE_PARAMS", "small_v2_n2048")
+    monkeypatch.setenv("REDSEC_MAX_FLIP", "0.3")
+    plan = _fc_sign_model()
+    _calib(plan, margin=1)
+    with pytest.raises(ValueError, match="flip rate"):
+        rr.resolve_pbs_ranges(plan, 4096, sigma_units=sigma)
+
+    # healthy margins sail through the same escalated guard (the guard is
+    # judging the geometry the boundary actually runs at, not refusing
+    # escalation outright)
+    plan2 = _fc_sign_model()
+    _calib(plan2, margin=60)
+    info = rr.resolve_pbs_ranges(plan2, 4096, sigma_units=sigma)
+    assert info[0].expected_flip_rate is not None
