@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--model", default="cifar/binarynet_small")
     ap.add_argument("--params", default="small_v2_tpu")
     ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--varprep", default="",
+                    help="path to a var_prep.dat overriding the reference "
+                         "net's shipped weights (BYON-trained weights)")
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--per-layer", action="store_true")
@@ -81,7 +84,8 @@ def main():
     t0 = time.time()
     params = get_params(args.params)
     spec = get_model(args.model)
-    vp = os.path.join(args.reference, "nets", args.model, "var_prep.dat")
+    vp = args.varprep or os.path.join(
+        args.reference, "nets", args.model, "var_prep.dat")
     plan = prep_model(spec, vp)
 
     d = plan.in_dim

@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--model", default="mnist/sign1024x1")
     ap.add_argument("--params", default="small_v2")
     ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--varprep", default="",
+                    help="path to a var_prep.dat overriding the reference "
+                         "net's shipped weights (e.g. the BYON-trained "
+                         "output of scripts/train_cifar_small.py)")
     ap.add_argument("--batch", type=int, default=0,
                     help="images per encrypted batch (0 = all at once)")
     ap.add_argument("--jit", default="auto")
@@ -66,7 +70,8 @@ def main():
     print(f"[{time.time()-t0:6.1f}s] keys ready ({args.params})")
 
     spec = get_model(args.model)
-    vp = os.path.join(args.reference, "nets", args.model, "var_prep.dat")
+    vp = args.varprep or os.path.join(
+        args.reference, "nets", args.model, "var_prep.dat")
     plan = prep_model(spec, vp)
     stats = summarize(plan)
     print(f"[{time.time()-t0:6.1f}s] model {args.model}: "
