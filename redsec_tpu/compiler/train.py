@@ -61,6 +61,10 @@ class TrainConfig:
     hidden_noise: float = 1.0        # train-time noise on v (integer units)
     seed: int = 0
     log_every: int = 100
+    # steps per jitted lax.scan segment (0 = plain python loop).  On the
+    # tunneled TPU each dispatch costs ~1 s of round trip; scanning 50
+    # steps per call amortizes it ~50x.
+    scan_chunk: int = 0
 
 
 def _ste_sign(v):
@@ -311,16 +315,41 @@ def train(spec: ModelSpec, px: np.ndarray, labels: np.ndarray,
         min_m = jnp.stack([jnp.abs(v).min() for v in vs]).min()
         return params, state, l, acc, min_m
 
+    @jax.jit
+    def multi_step(params, state, rng):
+        def body(carry, k):
+            params, state = carry
+            (l, (logits, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, k)
+            updates, state = opt.update(grads, state)
+            params = optax.apply_updates(params, updates)
+            acc = jnp.mean((logits.argmax(-1) == y).astype(jnp.float32))
+            return (params, state), (l, acc)
+
+        keys = jax.random.split(rng, cfg.scan_chunk)
+        (params, state), (ls, accs) = jax.lax.scan(body, (params, state), keys)
+        return params, state, ls[-1], accs[-1]
+
     rng = jax.random.PRNGKey(cfg.seed)
     hist = []
-    for i in range(cfg.steps):
-        rng, k = jax.random.split(rng)
-        params, state, l, acc, min_m = step(params, state, k)
-        if i % cfg.log_every == 0 or i == cfg.steps - 1:
-            rec = (i, float(l), float(acc), float(min_m))
+    if cfg.scan_chunk > 1:
+        for i in range(0, cfg.steps, cfg.scan_chunk):
+            rng, k = jax.random.split(rng)
+            params, state, l, acc = multi_step(params, state, k)
+            rec = (i + cfg.scan_chunk - 1, float(l), float(acc), -1.0)
             hist.append(rec)
-            print(f"step {rec[0]:5d} loss {rec[1]:.4f} train_acc {rec[2]:.3f} "
-                  f"min|v| {rec[3]:.1f}", flush=True)
+            print(f"step {rec[0]:5d} loss {rec[1]:.4f} "
+                  f"train_acc {rec[2]:.3f}", flush=True)
+    else:
+        for i in range(cfg.steps):
+            rng, k = jax.random.split(rng)
+            params, state, l, acc, min_m = step(params, state, k)
+            if i % cfg.log_every == 0 or i == cfg.steps - 1:
+                rec = (i, float(l), float(acc), float(min_m))
+                hist.append(rec)
+                print(f"step {rec[0]:5d} loss {rec[1]:.4f} "
+                      f"train_acc {rec[2]:.3f} min|v| {rec[3]:.1f}",
+                      flush=True)
     return jax.tree_util.tree_map(np.asarray, params), hist
 
 

@@ -26,12 +26,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
-    # keep the TPU chip free (and avoid crashing a concurrent encrypted
-    # session): sitecustomize re-pins JAX_PLATFORMS=axon, so the only
-    # reliable CPU forcing is the config update after import
     import jax
-
-    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--lr", type=float, default=2e-3)
@@ -41,7 +36,21 @@ def main():
     ap.add_argument("--model", default="cifar/binarynet_small")
     ap.add_argument("--reference", default="/root/reference")
     ap.add_argument("--out-dir", default="")
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
+                    help="tpu: train on the chip with scan-chunked steps "
+                         "(run SOLO — shares the one tunneled device)")
+    ap.add_argument("--scan-chunk", type=int, default=-1,
+                    help="steps per jitted scan segment (-1: 50 on tpu, "
+                         "0 on cpu)")
     args = ap.parse_args()
+
+    if args.device == "cpu":
+        # keep the TPU chip free (and avoid crashing a concurrent encrypted
+        # session): sitecustomize re-pins JAX_PLATFORMS=axon, so the only
+        # reliable CPU forcing is the config update after import
+        jax.config.update("jax_platforms", "cpu")
+    scan = args.scan_chunk if args.scan_chunk >= 0 else (
+        50 if args.device == "tpu" else 0)
 
     from redsec_tpu.compiler.train import TrainConfig, train_and_export
     from redsec_tpu.formats.image_io import load_csv_dataset, pixel_transform_for
@@ -57,7 +66,7 @@ def main():
     print(f"training {args.model} on {len(labels)} rows")
 
     cfg = TrainConfig(steps=args.steps, lr=args.lr, margin=args.margin,
-                      bound=args.bound, seed=args.seed)
+                      bound=args.bound, seed=args.seed, scan_chunk=scan)
     raw, prep, report = train_and_export(spec, x, labels, cfg)
 
     out = args.out_dir or os.path.join(
