@@ -13,6 +13,13 @@ analytic VPU ROOFLINE for the headline parameter set (BASELINE.md target:
 >= 80% of roofline), computed by the op-count model below — not a
 hand-picked constant. ``points`` carries every measured point.
 
+``vs_passfloor`` = measured rate / the structural pass-floor model's
+predicted rate for the benched configuration (scripts/fit_passmodel.py;
+constants from results/passmodel_fit.json, calibrated to that fit's
+session — cross-session drift ~1.6x applies to the ratio).  ~1.0 means
+the formulation sits ON the accumulator-pass floor; >1.2 would mean the
+model under-explains the backend and needs refitting.
+
 Anchor fields (definitions; same wording in PERFORMANCE.md):
 - ``achieved_vpu_fraction`` = measured int32 FMA-chain rate / the 4e12
   int-ops/s spec denominator the roofline assumes — the fraction of the
@@ -139,6 +146,27 @@ def main():
         "points": points,
         "device": str(jax.devices()[0]),
     }
+    # pass-floor model comparison (VERDICT r3 #4): predict this config's
+    # rate from the committed structural fit and report measured/model
+    fit_path = os.path.join(repo, "results", "passmodel_fit.json")
+    if os.path.exists(fit_path):
+        try:
+            sys.path.insert(0, os.path.join(repo, "scripts"))
+            from fit_passmodel import features
+
+            with open(fit_path) as f:
+                fit = json.load(f)
+            c = fit["coef_us"]
+            bundle = int(os.environ.get("REDSEC_BUNDLE", "1"))
+            fx = features(head, batch, bundle)
+            t_round = (c["per_acc_pass"] * fx["A"]
+                       + c["per_row_transform"] * fx["R"]
+                       + c["per_MB"] * fx["Y"] / 1e6)
+            model_rate = 1e6 * batch / (t_round * fx["rounds"])
+            out["passfloor_model_rate"] = round(model_rate, 1)
+            out["vs_passfloor"] = round(out["value"] / model_rate, 4)
+        except Exception as e:  # noqa: BLE001 — model comparison is best-effort
+            out["vs_passfloor"] = f"failed: {type(e).__name__}"
     if os.environ.get("REDSEC_BENCH_ANCHOR", "1") != "0":
         # Anchor the roofline denominator to a measurement (VERDICT r2 #9):
         # a deliberately VPU-bound fused int32 mul-add chain measures what
