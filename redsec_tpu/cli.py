@@ -115,7 +115,7 @@ def cmd_run_encrypted(args):
     dkey = bs.prepare_cloud_key(cloud)
     print(f"evaluation key prepared in {time.time()-t0:.1f}s")
     plan = prep_model(_resolve_model(args.model), args.weights)
-    ct, params, label, _ = kio.load_ciphertexts(args.image)
+    ct, params, label, _, _ = kio.load_ciphertexts(args.image)
     d = plan.in_dim
     ct = ct.reshape(-1, d.h, d.w, d.in_dep, ct.shape[-1])
     fwd = build_encrypted_forward(plan, dkey)
@@ -123,7 +123,8 @@ def cmd_run_encrypted(args):
     scores = np.asarray(fwd(jnp.asarray(ct)))
     dt = time.time() - t0
     kio.save_ciphertexts(args.out, scores, params, label=label,
-                         out_gain=fwd.out_gain)
+                         out_gain=fwd.out_gain,
+                         out_center=getattr(fwd, 'out_center', None))
     print(f"Inference Time: {dt:.2f} seconds")  # matches reference's print (main.cu:72-78)
     print(f"encrypted scores -> {args.out}")
 
@@ -133,10 +134,10 @@ def cmd_decrypt_image(args):
     from .runtime.encrypted import decrypt_scores
 
     sk = kio.load_secret_key(args.secret)
-    ct, params, label, out_gain = kio.load_ciphertexts(args.output)
+    ct, params, label, out_gain, out_center = kio.load_ciphertexts(args.output)
     if ct.ndim == 2:
         ct = ct[None]
-    scores = decrypt_scores(sk, ct, sk.params, out_gain)
+    scores = decrypt_scores(sk, ct, sk.params, out_gain, out_center)
     for srow in scores:
         print(f"Classification Result: {int(srow.argmax())}")  # client/decrypt_image.cpp:63
     if label >= 0:

@@ -50,20 +50,25 @@ def load_cloud_key(path: str) -> CloudKey:
 
 
 def save_ciphertexts(path: str, ct: np.ndarray, params: TfheParams, label=None,
-                     out_gain: int = 1) -> None:
+                     out_gain: int = 1, out_center=None) -> None:
     """Ciphertext container (role of image.ctxt / network_output.ctxt).
     ``out_gain``: encoding gain carried by network outputs (runtime/ranges.py);
-    the decryptor divides it back out."""
+    the decryptor divides it back out.  ``out_center``: per-class decrypt-
+    centering shift (or None); the decryptor subtracts it after decode."""
     np.savez(
         path, version=FORMAT_VERSION, params=params.name, ct=ct.astype(np.int32),
         label=-1 if label is None else int(label), out_gain=int(out_gain),
+        out_center=(np.zeros(0, np.int64) if out_center is None
+                    else np.asarray(out_center, np.int64)),
     )
 
 
 def load_ciphertexts(path: str):
     d = np.load(path, allow_pickle=False)
     gain = int(d["out_gain"]) if "out_gain" in d else 1
-    return d["ct"], get_params(str(d["params"])), int(d["label"]), gain
+    center = d["out_center"] if "out_center" in d else np.zeros(0, np.int64)
+    center = None if center.size == 0 else center
+    return d["ct"], get_params(str(d["params"])), int(d["label"]), gain, center
 
 
 # --------------------------------------------------------------------------- #

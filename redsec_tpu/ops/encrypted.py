@@ -165,9 +165,16 @@ def maxpool_sign_value(plan: PoolPlan, params: TfheParams) -> int:
 
 
 def quant_add_bias_enc(plan: QuantPlan, x: jax.Array, params: TfheParams,
-                       g_in: int = 1) -> jax.Array:
-    mu = mod_switch_to_torus32(plan.bias.astype(np.int64) * g_in,
-                               params.msg_space)
+                       g_in: int = 1,
+                       center: "np.ndarray | None" = None) -> jax.Array:
+    """Leveled bias add (BinFunc.cpp:1085-1107).  ``center``: optional
+    per-class decrypt-centering shift [C] (runtime/ranges.py final-layer
+    centering) — folded into the same noiseless body add; the decryptor
+    subtracts it (decrypt_scores(centers=...))."""
+    b = plan.bias.astype(np.int64)
+    if center is not None:
+        b = b + np.asarray(center, np.int64)
+    mu = mod_switch_to_torus32(b * g_in, params.msg_space)
     return _add_bias_body(x, mu)
 
 

@@ -35,6 +35,14 @@ def _resolve_info(model: ModelPlan, params, range_check: bool = True):
         sigma_units=params.mod_switch_sigma_units())
 
 
+def model_out_center(info):
+    """Per-class decrypt-centering shift of the final layer (ungained
+    units), or None — public metadata the decryptor subtracts
+    (runtime/ranges.py final-layer centering)."""
+    r = info[max(info)]
+    return getattr(r, "center", None)
+
+
 def model_out_gain(info) -> int:
     """Encoding gain carried by the final class scores (divide decrypted
     scores by this; argmax is invariant to it)."""
@@ -115,7 +123,7 @@ def _run_layer_ops(layer, x, pbs_fn, params, r, i=0, rerand=None):
         x = eops.quant_sign_enc(q, x, vote_fn, params, ov, r.in_gain,
                                 r.tie_break)
     elif q.mode == Activation.NONE:
-        x = eops.quant_add_bias_enc(q, x, params, r.in_gain)
+        x = eops.quant_add_bias_enc(q, x, params, r.in_gain, r.center)
     elif r.relu_mode == "quarter":
         x = eops.quant_relu_enc(q, x, pbs_fn, params, r.in_gain, r.out_gain,
                                 r.center)
@@ -175,6 +183,7 @@ def build_forward_impl(
         return x.reshape(x.shape[0], -1, x.shape[-1])
 
     forward.out_gain = model_out_gain(info)
+    forward.out_center = model_out_center(info)
     forward.in_gain = model_in_gain(info)
     return forward
 
@@ -278,7 +287,7 @@ def build_staged_forward(
                                              r.in_gain, r.tie_break)
                 return ct, tv, x.shape
             if q.mode == Activation.NONE:
-                x = eops.quant_add_bias_enc(q, x, params, r.in_gain)
+                x = eops.quant_add_bias_enc(q, x, params, r.in_gain, r.center)
                 return x, None, x.shape
             if r.relu_mode == "quarter":
                 ct, tv = eops.quant_relu_pre(q, x, _params_for(i), r.in_gain,
@@ -422,6 +431,7 @@ def build_encrypted_forward(
         forward.impl = impl
         forward.mode = "staged"
         forward.out_gain = model_out_gain(info)
+        forward.out_center = model_out_center(info)
         forward.in_gain = model_in_gain(info)
         return forward
 
@@ -461,6 +471,7 @@ def build_encrypted_forward(
     forward.impl = impl
     forward.mode = jit
     forward.out_gain = model_out_gain(info)
+    forward.out_center = model_out_center(info)
     forward.in_gain = model_in_gain(info)
     return forward
 
@@ -480,15 +491,20 @@ def encrypt_images(sk, images: np.ndarray, params, rng=None,
 
 
 def decrypt_scores(sk, scores_ct: np.ndarray, params,
-                   out_gain: int = 1) -> np.ndarray:
+                   out_gain: int = 1, centers=None) -> np.ndarray:
     """Client-side: decrypt class-score ciphertexts [B, classes, n+1] ->
     signed integers (client/decrypt_image.cpp:46-63).
 
     ``out_gain``: the forward's encoding gain (forward.out_gain) — scores
-    are rescaled back to reference logit units (argmax-invariant)."""
+    are rescaled back to reference logit units (argmax-invariant).
+    ``centers``: the forward's per-class decrypt-centering shift
+    (forward.out_center) — subtracted after decode, recovering logits whose
+    raw range exceeded +-msg_space/2 (runtime/ranges.py)."""
     from ..crypto import lwe
 
     raw = lwe.decrypt_integers(sk.lwe_key, np.asarray(scores_ct), params)
-    if out_gain == 1:
-        return raw
-    return np.rint(raw / out_gain).astype(raw.dtype)
+    if out_gain != 1:
+        raw = np.rint(raw / out_gain).astype(raw.dtype)
+    if centers is not None:
+        raw = raw - np.asarray(centers, raw.dtype)
+    return raw

@@ -67,6 +67,11 @@ class PbsRange:
     # not of the message-space fit).
     expected_flip_rate: Optional[float] = None
     local_flip_rate: Optional[float] = None
+    # Set when REDSEC_ESCALATE covers this layer: the local rate RECOMPUTED
+    # from the margin histogram at the escalated geometry's sigma and the
+    # run's actual gain — what the guard judges (sigma-insensitive
+    # boundaries do NOT halve; VERDICT r3 weak #2).
+    escalated_local_rate: Optional[float] = None
 
     def effective(self) -> Optional[int]:
         return self.measured if self.measured is not None else self.certified
@@ -177,6 +182,12 @@ def calibrate_ranges(model: ModelPlan, images: np.ndarray) -> List[Optional[int]
         if q.mode == Activation.SIGN or q.mode == Activation.NONE:
             b = np.asarray(pre).astype(np.int64) + q.bias.reshape(1, 1, 1, -1)
             bound = int(np.abs(b).max())
+            if q.mode == Activation.NONE:
+                # per-channel output interval: feeds final-layer decrypt
+                # centering (resolve_pbs_ranges) when logits overflow the
+                # +-msg_space/2 decode range
+                layer.measured_chan_interval = (
+                    b.min(axis=(0, 1, 2)), b.max(axis=(0, 1, 2)))
             if q.mode == Activation.SIGN:
                 # parity tie-break mask + margin histograms for flip-optimal
                 # gain selection (see PbsRange.tie_break).  For pure-binary
@@ -331,6 +342,25 @@ def resolve_pbs_ranges(
     # doubles the gain budget on the other relu edges.  The reference has no
     # analogue: its relu chain wraps silently (lib/IntFunc.cpp:860-973).
     if os.environ.get("REDSEC_CENTER", "1") != "0":
+        # FINAL-layer decrypt centering: a bias-only last layer's logits can
+        # exceed the +-msg_space/2 decode range (relu1024x3: -2562 at 32
+        # images) and wrap DETERMINISTICALLY at decrypt — the reference has
+        # the same silent failure (decrypt_image.cpp:50-59 recenters
+        # blindly).  A per-class shift s_c (public metadata, applied as a
+        # noiseless body add) keeps every class in range; the decryptor
+        # subtracts it back out (decrypt_scores(centers=...)).  Only the
+        # LAST layer is eligible — a mid-net shift would propagate into
+        # downstream weights.
+        last = len(model.layers) - 1
+        Lf = model.layers[last]
+        if (Lf.quant.mode == Activation.NONE
+                and Lf.measured_chan_interval is not None):
+            lo, hi = Lf.measured_chan_interval
+            s = -((lo + hi) // 2)
+            if np.any(s != 0):
+                ranges[last].center = s.astype(np.int64)
+                ranges[last].measured = int(
+                    np.maximum(np.abs(lo + s), np.abs(hi + s)).max())
         for i, layer in enumerate(model.layers):
             if (layer.quant.mode == Activation.RELU
                     and layer.measured_chan_interval is not None):
@@ -522,6 +552,7 @@ def resolve_pbs_ranges(
                     _, local = _flip_optimal_gain(
                         h, ep.mod_switch_sigma_units(), ep.msg_space // 2,
                         lam=0.0, g_fixed=max(ranges[i].in_gain, 1))
+                    r.escalated_local_rate = local
                 # no histogram (relu staircase / maxpool): keep the
                 # UNescalated rate — a sound bound, since shrinking sigma
                 # cannot raise the in-budget flip terms

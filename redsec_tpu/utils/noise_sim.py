@@ -50,12 +50,22 @@ def _slots_to_units(p: TfheParams, slots: float) -> float:
     return slots * p.msg_space / (2.0 * p.N)
 
 
-def _decode_tv(tv_torus: np.ndarray, msize: int) -> np.ndarray:
-    """int32 torus test-vector values -> message units (exact integers)."""
+def _decode_tv(tv_torus: np.ndarray, msize: int, scale: int = 1) -> np.ndarray:
+    """int32 torus test-vector values -> message units x ``scale``.
+
+    ``scale=1`` suffices for sign/quarter-relu vectors (exact integer
+    units).  The FDFB odd/even split halves and quarter-shifts torus values
+    (ops/encrypted.py:relu_fdfb_test_vectors: ``(a-b)>>1`` and the seam
+    constant ``sum//4``), so its vectors live on the QUARTER-unit lattice —
+    decode them at ``scale=4`` or the rint introduces a +-1-unit artifact
+    the real engine (torus-exact until the single final decrypt rounding)
+    does not have.  That artifact produced deterministic ~8-12% per-layer
+    "flips" in FDFB forecasts that survived even the exact N=2048 grid
+    (round-4 diagnosis; regression: tests/test_noise_sim.py)."""
     t = np.asarray(tv_torus).astype(np.int64)
     t = np.where(t < 0, t + (1 << 32), t)
-    u = np.rint(t * (msize / 2.0**32)).astype(np.int64)
-    return np.where(u >= msize // 2, u - msize, u)
+    u = np.rint(t * (scale * msize / 2.0**32)).astype(np.int64)
+    return np.where(u >= scale * msize // 2, u - scale * msize, u)
 
 
 class _Sim:
@@ -254,8 +264,10 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
             tv_o, tv_e, c = relu_fdfb_test_vectors(
                 q, p_i, r.in_gain, r.out_gain,
                 center=getattr(r, "center", None))
-            tv_o, tv_e = _decode_tv(tv_o, msize), _decode_tv(tv_e, msize)
-            cu = _decode_tv(c, msize)
+            # quarter-unit lattice (see _decode_tv): reads sum exactly, the
+            # final >>2 recovers integer units with no rounding artifact
+            tv_o, tv_e = _decode_tv(tv_o, msize, 4), _decode_tv(tv_e, msize, 4)
+            cu = _decode_tv(c, msize, 4)
             tv_sign = _decode_tv(const_test_vector(p_i, msize // 4, msize),
                                  msize)
             phase = x + _center_units(r)
@@ -263,7 +275,9 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
             odd, _ = sim_i.pbs(phase, tv_o, var, shared_eta=eta1)
             ct2 = phase - s + msize // 4
             even, _ = sim_i.pbs(ct2, tv_e, var + sim_i.var_pbs)
-            x = odd + even + cu
+            # odd/even/cu are quarter-units; their sum is an exact multiple
+            # of 4 (= the integer-unit staircase value) by construction
+            x = (odd + even + cu) >> 2
             var = np.full(q.depth, 2 * sim_i.var_pbs)
             if oracle_trace is not None:
                 stats[key] = _flip(x // r.out_gain, oracle_trace[i]["quant"])
@@ -293,8 +307,12 @@ def simulate_forward(model: ModelPlan, x: np.ndarray, params: TfheParams,
     scores = x.reshape(B, -1)
     # final decrypt wraps into [-msize/2, msize/2) like the real LWE decode
     scores = ((scores + msize // 2) % msize) - msize // 2
-    out_gain = info[max(info)].out_gain
-    return np.rint(scores / out_gain).astype(np.int64), stats
+    r_last = info[max(info)]
+    scores = np.rint(scores / r_last.out_gain).astype(np.int64)
+    if getattr(r_last, "center", None) is not None:
+        # decrypt-side uncentering (runtime/encrypted.py:decrypt_scores)
+        scores = scores - np.asarray(r_last.center, np.int64)[None, :]
+    return scores, stats
 
 
 def _center_units(r) -> np.ndarray | int:

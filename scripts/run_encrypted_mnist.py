@@ -141,7 +141,8 @@ def main():
                                         gain=getattr(fwd, "in_gain", 1)))
         t1 = time.time()
         scores = decrypt_scores(sk, np.asarray(fwd(ct)), dkey.params,
-                                getattr(fwd, 'out_gain', 1))
+                                getattr(fwd, 'out_gain', 1),
+                                getattr(fwd, 'out_center', None))
         return scores.argmax(1), time.time() - t1
 
     # per-batch checkpoint/resume: results live in a JSON file keyed by

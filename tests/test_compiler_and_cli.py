@@ -82,7 +82,7 @@ def test_keys_roundtrip(tmp_path):
 
     ct = np.zeros((3, TEST_NOISELESS.n + 1), np.int32)
     kio.save_ciphertexts(tmp_path / "c.npz", ct, TEST_NOISELESS, label=7)
-    ct2, params, label, _gain = kio.load_ciphertexts(str(tmp_path / "c.npz"))
+    ct2, params, label, _gain, _c = kio.load_ciphertexts(str(tmp_path / "c.npz"))
     assert label == 7 and params.name == "test_noiseless"
     np.testing.assert_array_equal(ct2, ct)
 

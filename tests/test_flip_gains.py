@@ -155,13 +155,24 @@ def test_max_flip_guard_is_vote_and_escalation_aware(monkeypatch):
     monkeypatch.setenv("REDSEC_MAJORITY", "3")
     rr.resolve_pbs_ranges(plan, 4096, input_gain=True, sigma_units=8.0)
     monkeypatch.delenv("REDSEC_MAJORITY")
-    # ... and escalation's sigma-halving passes a 0.6x guard single-voted
-    monkeypatch.setenv("REDSEC_MAX_FLIP", str(0.6 * max_local))
-    with pytest.raises(ValueError, match="flip rate"):
-        rr.resolve_pbs_ranges(plan, 4096, input_gain=True, sigma_units=8.0)
+    # ... and an escalated boundary is judged at the RECOMPUTED rate at the
+    # escalated geometry's sigma (NOT an assumed /2 — r4 guard fix; the
+    # sigma-insensitive regression lives in tests/test_ranges.py).  Probe
+    # the recomputed rates with strict=False, then pin the guard just above
+    # (passes) and just below (raises).
     monkeypatch.setenv("REDSEC_ESCALATE",
                        ",".join(str(i) for i in range(len(plan.layers))))
+    probe = rr.resolve_pbs_ranges(plan, 4096, strict=False, input_gain=True,
+                                  sigma_units=8.0)
+    esc_rates = [r.escalated_local_rate for r in probe.values()
+                 if r.escalated_local_rate is not None]
+    assert esc_rates, "no escalated boundary recomputed a rate"
+    worst = max(esc_rates)
+    monkeypatch.setenv("REDSEC_MAX_FLIP", str(worst * 1.05))
     rr.resolve_pbs_ranges(plan, 4096, input_gain=True, sigma_units=8.0)
+    monkeypatch.setenv("REDSEC_MAX_FLIP", str(worst * 0.95))
+    with pytest.raises(ValueError, match="flip rate"):
+        rr.resolve_pbs_ranges(plan, 4096, input_gain=True, sigma_units=8.0)
 
 
 def test_max_flip_guard_judges_local_rate(monkeypatch):
@@ -235,8 +246,10 @@ def test_tie_break_forward_is_noiseless_noop(keys):
                            gain=model_in_gain(info)))
         impl = build_forward_impl(plan, dkey.params, dkey.plan, info=info)
         out = impl(dkey.bk_ntt, dkey.ksk_limbs, ct)
+        from redsec_tpu.runtime.encrypted import model_out_center
         return decrypt_scores(sk, np.asarray(out), params,
-                              model_out_gain(info)).argmax(1)
+                              model_out_gain(info),
+                              model_out_center(info)).argmax(1)
 
     np.testing.assert_array_equal(run(info_tb), want)
     np.testing.assert_array_equal(run(info_off), want)

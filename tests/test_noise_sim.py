@@ -107,7 +107,9 @@ def test_input_gain_forward_matches_oracle():
     ct = jnp.asarray(encrypt_images(sk, x[:4], TEST_NOISELESS, rng, gain=g0))
     impl = build_forward_impl(plan, dkey.params, dkey.plan, info=info)
     out = impl(dkey.bk_ntt, dkey.ksk_limbs, ct)
-    got = decrypt_scores(sk, np.asarray(out), TEST_NOISELESS, model_out_gain(info))
+    from redsec_tpu.runtime.encrypted import model_out_center
+    got = decrypt_scores(sk, np.asarray(out), TEST_NOISELESS,
+                         model_out_gain(info), model_out_center(info))
     want = np.asarray(build_forward(plan)(jnp.asarray(x[:4])))
     np.testing.assert_array_equal(got, want)
 
