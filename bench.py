@@ -152,17 +152,12 @@ def main():
     if os.path.exists(fit_path):
         try:
             sys.path.insert(0, os.path.join(repo, "scripts"))
-            from fit_passmodel import features
+            from fit_passmodel import predict_rate
 
             with open(fit_path) as f:
                 fit = json.load(f)
-            c = fit["coef_us"]
             bundle = int(os.environ.get("REDSEC_BUNDLE", "1"))
-            fx = features(head, batch, bundle)
-            t_round = (c["per_acc_pass"] * fx["A"]
-                       + c["per_row_transform"] * fx["R"]
-                       + c["per_MB"] * fx["Y"] / 1e6)
-            model_rate = 1e6 * batch / (t_round * fx["rounds"])
+            model_rate = predict_rate(head, batch, bundle, fit["coef"])
             out["passfloor_model_rate"] = round(model_rate, 1)
             out["vs_passfloor"] = round(out["value"] / model_rate, 4)
         except Exception as e:  # noqa: BLE001 — model comparison is best-effort
