@@ -356,8 +356,13 @@ def resolve_pbs_ranges(
         if (Lf.quant.mode == Activation.NONE
                 and Lf.measured_chan_interval is not None):
             lo, hi = Lf.measured_chan_interval
+            ub = int(np.maximum(np.abs(lo), np.abs(hi)).max())
             s = -((lo + hi) // 2)
-            if np.any(s != 0):
+            s = s - (s % 2)  # keep the all-centers-slot-aligned invariant
+            # engage only when the uncentered range threatens the decode
+            # budget (wrap territory, or it would cap the gain schedule) —
+            # an unnecessary center perturbs gain selection for no benefit
+            if np.any(s != 0) and ub >= half / gain_headroom:
                 ranges[last].center = s.astype(np.int64)
                 ranges[last].measured = int(
                     np.maximum(np.abs(lo + s), np.abs(hi + s)).max())

@@ -16,7 +16,8 @@ run() {
 }
 
 # r2 reproduction: 8 images, whole-model jit (auto at this size), FDFB modes
-run "8img auto (r2 repro)" env REDSEC_INPUT_GAIN=1 \
+# (24.6k static bootstraps — r2 measured this size safe; lift the 24k guard)
+run "8img auto (r2 repro)" env REDSEC_INPUT_GAIN=1 REDSEC_MAX_PROGRAM_BOOTS=26000 \
   python scripts/run_encrypted_mnist.py --images 8 --model mnist/relu1024x3 \
   --params small_v2_tpu --jit auto
 # same size, staged dispatch: isolates the staged-path cost

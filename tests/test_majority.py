@@ -112,11 +112,13 @@ def test_majority_forward_noiseless_end_to_end(keys, monkeypatch):
                                     gain=model_in_gain(info)))
 
     def run():
+        from redsec_tpu.runtime.encrypted import model_out_center
+
         impl = build_forward_impl(plan, dkey.params, dkey.plan, info=info,
                                   rerand=dkey.rerand)
         out = impl(dkey.bk_ntt, dkey.ksk_limbs, ct)
         return decrypt_scores(sk, np.asarray(out), params,
-                              model_out_gain(info))
+                              model_out_gain(info), model_out_center(info))
 
     plain = run()
     monkeypatch.setenv("REDSEC_MAJORITY", "3")

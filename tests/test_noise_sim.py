@@ -75,8 +75,9 @@ def test_centered_relu_forward_is_reencoding_noop():
     def run(ii):
         impl = build_forward_impl(plan, dkey.params, dkey.plan, info=ii)
         out = impl(dkey.bk_ntt, dkey.ksk_limbs, ct)
+        from redsec_tpu.runtime.encrypted import model_out_center
         return decrypt_scores(sk, np.asarray(out), TEST_NOISELESS,
-                              model_out_gain(ii))
+                              model_out_gain(ii), model_out_center(ii))
 
     np.testing.assert_array_equal(run(info), run(info0))
 
