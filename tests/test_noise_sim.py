@@ -165,3 +165,74 @@ def test_sim_gain_monotonicity_on_shipped_net():
                              trials=3)
     assert a_g["agreement_mean"] >= 0.94, a_g
     assert a_g["agreement_mean"] > a_u["agreement_mean"] + 0.03, (a_g, a_u)
+
+
+def test_final_layer_decrypt_centering_rescues_wrapped_logits(monkeypatch):
+    """Round-4 engine fix: logits beyond +-msg_space/2 wrap at decrypt and
+    steal the argmax (the reference wraps silently the same way,
+    decrypt_image.cpp:50-59; relu1024x3 images 3/23 were real casualties).
+    Final-layer per-class decrypt centering keeps every class in range and
+    the decryptor subtracts the public shifts back out."""
+    from redsec_tpu.crypto import bootstrap as bs, keygen as kg
+    from redsec_tpu.formats.varprep import VarPrepWriter
+    from redsec_tpu.models.dims import Dimensions
+    from redsec_tpu.models.spec import (
+        Activation, BiasKind, ConvKind, ConvParams, Domain, LayerSpec,
+        ModelSpec, prep_model,
+    )
+    from redsec_tpu.models.spec import PoolKind
+    from redsec_tpu.runtime.encrypted import (
+        build_forward_impl, decrypt_scores, encrypt_images, model_out_center,
+        model_out_gain,
+    )
+    from redsec_tpu.runtime.ptxt import build_forward
+
+    spec = ModelSpec(
+        "test/wrap_final",
+        Dimensions(h=1, w=1, in_dep=16, in_bits=2, up_bound=1, scale=0.5),
+        [
+            LayerSpec(Domain.BIN, ConvKind.FC, 8, PoolKind.NONE,
+                      Activation.SIGN, BiasKind.BNORM,
+                      conv_params=ConvParams(tern_thresh=0.1)),
+            LayerSpec(Domain.BIN, ConvKind.FC_FINAL, 3, PoolKind.NONE,
+                      Activation.NONE, BiasKind.BIAS,
+                      conv_params=ConvParams(tern_thresh=0.1)),
+        ],
+    )
+    rng = np.random.default_rng(11)
+    wr = VarPrepWriter()
+    wr.write_tern(rng.choice([-1, 0, 1], size=16 * 8))
+    wr.write_i32(rng.integers(-2, 3, size=8))
+    wr.write_tern(rng.choice([-1, 0, 1], size=8 * 3))
+    # class-0 logits sit at ~600 > msg_space/2 = 512: decode wraps them
+    # negative without centering
+    wr.write_i32(np.array([600, 0, -600]))
+    plan = prep_model(spec, wr.getvalue())
+
+    x = rng.choice([-1, 1], size=(6, 1, 1, 16)).astype(np.int32)
+    rr.calibrate_ranges(plan, x)
+    info = rr.resolve_pbs_ranges(plan, TEST_NOISELESS.msg_space)
+    assert info[1].center is not None, "final-layer centering did not engage"
+
+    want = np.asarray(build_forward(plan)(jnp.asarray(x)))
+    assert np.abs(want).max() > TEST_NOISELESS.msg_space // 2  # wrap-certain
+
+    sk, cloud = kg.keygen(TEST_NOISELESS, seed=8)
+    dkey = bs.prepare_cloud_key(cloud)
+    ct = jnp.asarray(encrypt_images(sk, x, TEST_NOISELESS, rng))
+
+    impl = build_forward_impl(plan, dkey.params, dkey.plan, info=info)
+    out = impl(dkey.bk_ntt, dkey.ksk_limbs, ct)
+    got = decrypt_scores(sk, np.asarray(out), TEST_NOISELESS,
+                         model_out_gain(info), model_out_center(info))
+    np.testing.assert_array_equal(got.argmax(1), want.argmax(1))
+
+    # without centering the same pipeline demonstrably wraps the argmax
+    monkeypatch.setenv("REDSEC_CENTER", "0")
+    info0 = rr.resolve_pbs_ranges(plan, TEST_NOISELESS.msg_space)
+    assert info0[1].center is None
+    out0 = build_forward_impl(plan, dkey.params, dkey.plan, info=info0)(
+        dkey.bk_ntt, dkey.ksk_limbs, ct)
+    got0 = decrypt_scores(sk, np.asarray(out0), TEST_NOISELESS,
+                          model_out_gain(info0))
+    assert not (got0.argmax(1) == want.argmax(1)).all()
