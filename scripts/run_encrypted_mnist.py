@@ -41,8 +41,39 @@ def main():
                          "runs vs session timeouts). Encryption randomness "
                          "is derived per batch index, so resumed batches "
                          "are bit-identical to an uninterrupted run.")
+    ap.add_argument("--calib-rows", default="",
+                    help="row spec (e.g. 50:100) used for calibrate_ranges "
+                         "INSTEAD of the evaluated rows 0..images-1 — the "
+                         "held-out-calibration mode (VERDICT r4 #1). "
+                         "Without it, calibration runs on the eval rows "
+                         "(the legacy, leakage-prone mode, flagged in the "
+                         "output).")
+    ap.add_argument("--save-calib", default="",
+                    help="persist the calibration as a public artifact "
+                         "(runtime/calibration.py) for the CLI flow")
+    ap.add_argument("--load-calib", default="",
+                    help="restore calibration from an artifact instead of "
+                         "computing it (no oracle pass over any rows)")
     args = ap.parse_args()
     import json
+
+    def parse_rows(spec):
+        out = []
+        for part in spec.split(","):
+            if ":" in part:
+                a, b = part.split(":")
+                out.extend(range(int(a), int(b)))
+            else:
+                out.append(int(part))
+        return out
+
+    calib_rows = parse_rows(args.calib_rows) if args.calib_rows else None
+    if calib_rows is not None:
+        overlap = sorted(set(calib_rows) & set(range(args.images)))
+        if overlap:
+            raise SystemExit(
+                f"--calib-rows overlaps the evaluated rows 0:{args.images}: "
+                f"{overlap} — held-out calibration must be disjoint")
 
     import jax
 
@@ -80,17 +111,42 @@ def main():
     d = plan.in_dim
     dataset = "cifar/cifar_data.csv" if args.model.startswith("cifar") else "mnist/mnist_data.csv"
     csv = os.path.join(args.reference, "nets", dataset)
-    labels, px = load_csv_dataset(csv, d.h, d.w, d.in_dep, limit=args.images)
-    x = pixel_transform_for(args.model)(px)
+    n_load = max([args.images] + ([max(calib_rows) + 1] if calib_rows else []))
+    labels_all, px_all = load_csv_dataset(csv, d.h, d.w, d.in_dep, limit=n_load)
+    x_all = pixel_transform_for(args.model)(px_all)
+    labels, x = labels_all[: args.images], x_all[: args.images]
 
     want = np.asarray(build_forward(plan)(jnp.asarray(x)))
     ptxt_preds = want.argmax(1)
 
     # data-driven PBS range bounds: picks the relu implementation per layer
-    # and validates every bootstrap boundary (runtime/ranges.py)
+    # and validates every bootstrap boundary (runtime/ranges.py).  Three
+    # calibration modes (VERDICT r4 #1): held-out rows (--calib-rows), a
+    # persisted artifact (--load-calib), or the legacy leakage-prone
+    # calibrate-on-eval-rows default (flagged in the RESULT line).
+    from redsec_tpu.runtime.calibration import (
+        load_calibration, save_calibration)
     from redsec_tpu.runtime.ranges import calibrate_ranges, resolve_pbs_ranges
 
-    calibrate_ranges(plan, x)
+    if args.load_calib:
+        meta = load_calibration(args.load_calib, plan)
+        calib_tag = f"artifact:{os.path.basename(args.load_calib)}"
+        print(f"[{time.time()-t0:6.1f}s] calibration restored from "
+              f"{args.load_calib} (rows: {meta.get('calib_rows')})")
+    elif calib_rows is not None:
+        calibrate_ranges(plan, x_all[calib_rows])
+        calib_tag = f"heldout:{args.calib_rows}"
+        print(f"[{time.time()-t0:6.1f}s] calibrated on {len(calib_rows)} "
+              f"HELD-OUT rows ({args.calib_rows}), disjoint from eval "
+              f"0:{args.images}")
+    else:
+        calibrate_ranges(plan, x)
+        calib_tag = "eval-rows(leaky)"
+    if args.save_calib:
+        save_calibration(args.save_calib, plan, args.params,
+                         calib_rows=f"{dataset}[{args.calib_rows or 'eval'}]")
+        print(f"[{time.time()-t0:6.1f}s] calibration artifact -> "
+              f"{args.save_calib}")
     info = resolve_pbs_ranges(plan, dkey.params.msg_space,
                               strict=not args.no_range_check,
                               input_gain=os.environ.get("REDSEC_INPUT_GAIN", "0") == "1",
@@ -156,18 +212,33 @@ def main():
         "escalate": os.environ.get("REDSEC_ESCALATE", ""),
         "varprep": vp,
     }
+    if args.calib_rows or args.load_calib:
+        # only fingerprinted when engaged, so pre-existing checkpoints
+        # (written before held-out calibration existed) keep resuming
+        fingerprint["calib"] = calib_tag
     ck = {"fingerprint": fingerprint, "batches": {}}
     if args.checkpoint and os.path.exists(args.checkpoint):
         with open(args.checkpoint) as f:
             prev = json.load(f)
-        if prev.get("fingerprint") != fingerprint:
+        pf = dict(prev.get("fingerprint") or {})
+        # image-count EXTENSION is sound: per-batch encryption randomness is
+        # seeded by the batch's first image index (not the total), so a
+        # checkpoint at images=8 holds bit-identical results for the first
+        # 8 images of an images=16 run (flagship n=8 -> n=16, VERDICT r4 #3)
+        extend_ok = (pf.get("images") is not None
+                     and pf["images"] <= fingerprint["images"]
+                     and {**pf, "images": fingerprint["images"]} == fingerprint)
+        if pf != fingerprint and not extend_ok:
             raise SystemExit(
                 f"checkpoint {args.checkpoint} was written by a different "
-                f"configuration:\n  {prev.get('fingerprint')}\nvs\n  {fingerprint}")
+                f"configuration:\n  {pf}\nvs\n  {fingerprint}")
         ck = prev
+        ck["fingerprint"] = fingerprint
         done = sorted(int(k) for k in ck["batches"])
         print(f"[{time.time()-t0:6.1f}s] resuming: "
-              f"{len(done)} batch(es) already done {done}")
+              f"{len(done)} batch(es) already done {done}"
+              + (f" (extended {pf['images']} -> {fingerprint['images']} "
+                 f"images)" if pf.get("images") != fingerprint["images"] else ""))
 
     def save_checkpoint():
         if not args.checkpoint:
@@ -222,7 +293,8 @@ def main():
     print(f"labels:          {labels.tolist()}")
     print(f"RESULT model={args.model} params={args.params} images={args.images} "
           f"s_per_image={per_img:.3f} bootstraps_per_s={boots_rate:.0f} "
-          f"oracle_agreement={agree:.3f} accuracy={acc:.3f}"
+          f"oracle_agreement={agree:.3f} accuracy={acc:.3f} "
+          f"calib={calib_tag}"
           + (" timing=cold(compile-inclusive)" if cold else "")
           + (f" resumed_batches={n_resumed}" if n_resumed else ""))
 
