@@ -340,7 +340,11 @@ class RoundOps:
         self._ks_shifts = np.array(
             [32 - (j + 1) * p.ks_basebit for j in range(p.ks_t)], dtype=np.uint32
         )
-        self._prec_offset = 1 << (32 - (1 + p.ks_basebit * p.ks_t))
+        # rounding offset = half the KS truncation step; a full-precision
+        # KS (basebit*t >= 32, e.g. medium_v2/large_v2's exact 2x16) has no
+        # truncation and therefore no offset
+        kbits = p.ks_basebit * p.ks_t
+        self._prec_offset = (1 << (32 - 1 - kbits)) if kbits < 32 else 0
 
     def mod_switch(self, x):
         u = x.astype(jnp.uint32)
@@ -892,7 +896,7 @@ def bootstrap_host(cloud: CloudKey, ct: np.ndarray, testvect: np.ndarray) -> np.
 
     # key switch
     t, base, basebit = p.ks_t, p.ks_base, p.ks_basebit
-    prec = 1 << (32 - (1 + basebit * t))
+    prec = (1 << (32 - 1 - basebit * t)) if basebit * t < 32 else 0
     out = np.zeros(n + 1, dtype=np.int32)
     out[n] = b_ext
     for i in range(N):

@@ -124,6 +124,31 @@ SMALL_V2_TPU = _p("small_v2_tpu", n=350, N=1024, bg_bit=5, l=6,
 SMALL_V2_TPU2 = _p("small_v2_tpu2", n=350, N=1024, bg_bit=6, l=5,
                    ks_basebit=3, ks_t=9, alpha_ks=2.0**-25, alpha_bk=2.0**-30)
 
+# REPAIRED wide-network recipes (round 5, VERDICT r4 #4).  The reference
+# tells wide-net users to move to medium/large (gen_secure_keyset.cpp:94-96)
+# but round 4 MEASURED those recipes failing their own 4096-slot message
+# space: large = 8/32 decode errors (1.22 sigma budget), medium = 2.0 sigma
+# (its 32/32-exact run had P~0.24 of happening).  The analytic per-source
+# budget (utils/noise_budget.py, validated per-source in
+# results/noise_budget_validation.log) attributes the noise to the
+# truncation of the 18-bit key-switch decomposition (t*basebit = 18 of 32
+# bits: 2^14-lsb steps against a 2^20-lsb slot -> 0.20/0.29 slots sigma)
+# with a secondary 30-bit gadget term — NOT to the key-sample alphas, which
+# sit below one torus32 lsb and contribute nothing in an integer engine.
+# The repair makes both decompositions EXACT: ks 2x16 = 32 bits (zero KS
+# truncation) and Bg=2^8 x l=4 = 32 bits (zero gadget truncation).  Same
+# n, N and noise rates as the originals -> identical lattice security;
+# cost: l 4 vs 3 (+33% blind-rotate work), KS 16x4-valued digits vs 18
+# bits (comparable).  Predicted output noise: exactly 0 in this engine's
+# torus32 convention; ~1e-4 slots under a continuous-torus (SPQLIOS-style)
+# model — >= 4 sigma by orders of magnitude either way.  Validated at
+# n>=32 EXACT with sigma multiple in results/
+# (scripts/validate_full_geometry.py --set medium_v2|large_v2).
+MEDIUM_V2 = _p("medium_v2", n=3072, N=4096, bg_bit=8, l=4, ks_basebit=2,
+               ks_t=16, alpha_ks=2.0**-40, alpha_bk=2.0**-45)
+LARGE_V2 = _p("large_v2", n=6144, N=8192, bg_bit=8, l=4, ks_basebit=2,
+              ks_t=16, alpha_ks=2.0**-41, alpha_bk=2.0**-46)
+
 # Deterministic zero-noise set for bit-exact pipeline tests: same geometry
 # ratios as small_v2 (msg_space = 2 * 2N, i.e. 2 message units per rotation
 # slot) but tiny, so encrypted results match the plaintext oracle up to the
@@ -140,7 +165,8 @@ SMALL_V2_NOISELESS = _p("small_v2_noiseless", n=350, N=1024, bg_bit=3, l=10,
 PARAM_SETS = {
     p.name: p
     for p in (SMALL_V2, SMALL_V2_N2048, SMALL_V2_TPU, SMALL_V2_TPU2,
-              SMALL, MEDIUM, LARGE, TEST_NOISELESS, SMALL_V2_NOISELESS)
+              SMALL, MEDIUM, LARGE, MEDIUM_V2, LARGE_V2,
+              TEST_NOISELESS, SMALL_V2_NOISELESS)
 }
 
 

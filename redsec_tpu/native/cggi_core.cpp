@@ -285,7 +285,11 @@ void cggi_bootstrap_batch(void* h, const Torus32* in, const Torus32* testvect,
     const u32 half = u32(1) << (ms_shift - 1);
     const u32 mask2n = two_n - 1;
     const int base = 1 << P.ks_basebit;
-    const u32 prec = u32(1) << (32 - (1 + P.ks_basebit * P.ks_t));
+    // rounding offset = half the KS truncation step; full-precision KS
+    // (basebit*t >= 32: the repaired medium_v2/large_v2 recipes) truncates
+    // nothing, so the offset is zero (a negative shift would be UB)
+    const int ks_bits = P.ks_basebit * P.ks_t;
+    const u32 prec = ks_bits < 32 ? (u32(1) << (32 - 1 - ks_bits)) : 0;
 
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic)

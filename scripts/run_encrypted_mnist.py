@@ -41,6 +41,11 @@ def main():
                          "runs vs session timeouts). Encryption randomness "
                          "is derived per batch index, so resumed batches "
                          "are bit-identical to an uninterrupted run.")
+    ap.add_argument("--eval-offset", type=int, default=0,
+                    help="first evaluated row (eval set = offset .. "
+                         "offset+images-1): enables 2-fold held-out "
+                         "designs on the 100-row shipped CSVs (fold B "
+                         "evaluates 50:100 while calibrating on 0:50)")
     ap.add_argument("--calib-rows", default="",
                     help="row spec (e.g. 50:100) used for calibrate_ranges "
                          "INSTEAD of the evaluated rows 0..images-1 — the "
@@ -67,12 +72,14 @@ def main():
                 out.append(int(part))
         return out
 
+    eval_rows = range(args.eval_offset, args.eval_offset + args.images)
     calib_rows = parse_rows(args.calib_rows) if args.calib_rows else None
     if calib_rows is not None:
-        overlap = sorted(set(calib_rows) & set(range(args.images)))
+        overlap = sorted(set(calib_rows) & set(eval_rows))
         if overlap:
             raise SystemExit(
-                f"--calib-rows overlaps the evaluated rows 0:{args.images}: "
+                f"--calib-rows overlaps the evaluated rows "
+                f"{eval_rows.start}:{eval_rows.stop}: "
                 f"{overlap} — held-out calibration must be disjoint")
 
     import jax
@@ -111,10 +118,11 @@ def main():
     d = plan.in_dim
     dataset = "cifar/cifar_data.csv" if args.model.startswith("cifar") else "mnist/mnist_data.csv"
     csv = os.path.join(args.reference, "nets", dataset)
-    n_load = max([args.images] + ([max(calib_rows) + 1] if calib_rows else []))
+    n_load = max([eval_rows.stop] + ([max(calib_rows) + 1] if calib_rows else []))
     labels_all, px_all = load_csv_dataset(csv, d.h, d.w, d.in_dep, limit=n_load)
     x_all = pixel_transform_for(args.model)(px_all)
-    labels, x = labels_all[: args.images], x_all[: args.images]
+    labels = labels_all[eval_rows.start : eval_rows.stop]
+    x = x_all[eval_rows.start : eval_rows.stop]
 
     want = np.asarray(build_forward(plan)(jnp.asarray(x)))
     ptxt_preds = want.argmax(1)
@@ -138,7 +146,7 @@ def main():
         calib_tag = f"heldout:{args.calib_rows}"
         print(f"[{time.time()-t0:6.1f}s] calibrated on {len(calib_rows)} "
               f"HELD-OUT rows ({args.calib_rows}), disjoint from eval "
-              f"0:{args.images}")
+              f"{eval_rows.start}:{eval_rows.stop}")
     else:
         calibrate_ranges(plan, x)
         calib_tag = "eval-rows(leaky)"
@@ -192,7 +200,10 @@ def main():
         remote-execution backends). Returns (preds, seconds).  Encryption
         randomness is seeded by the batch's first image index, so any
         batch's ciphertexts are reproducible in isolation (resume)."""
-        rng = np.random.default_rng(1_000_003 + i0)
+        # seeded by the batch's ABSOLUTE first row index, so a batch's
+        # ciphertexts are reproducible in isolation (resume) and an
+        # eval-offset run matches the same rows evaluated at offset 0
+        rng = np.random.default_rng(1_000_003 + i0 + args.eval_offset)
         ct = jnp.asarray(encrypt_images(sk, xb, dkey.params, rng,
                                         gain=getattr(fwd, "in_gain", 1)))
         t1 = time.time()
@@ -216,6 +227,8 @@ def main():
         # only fingerprinted when engaged, so pre-existing checkpoints
         # (written before held-out calibration existed) keep resuming
         fingerprint["calib"] = calib_tag
+    if args.eval_offset:
+        fingerprint["eval_offset"] = args.eval_offset
     ck = {"fingerprint": fingerprint, "batches": {}}
     if args.checkpoint and os.path.exists(args.checkpoint):
         with open(args.checkpoint) as f:
@@ -295,6 +308,7 @@ def main():
           f"s_per_image={per_img:.3f} bootstraps_per_s={boots_rate:.0f} "
           f"oracle_agreement={agree:.3f} accuracy={acc:.3f} "
           f"calib={calib_tag}"
+          + (f" eval_offset={args.eval_offset}" if args.eval_offset else "")
           + (" timing=cold(compile-inclusive)" if cold else "")
           + (f" resumed_batches={n_resumed}" if n_resumed else ""))
 

@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--set", default="medium", choices=["medium", "large"])
+    ap.add_argument("--set", default="medium",
+                    choices=["medium", "large", "medium_v2", "large_v2"])
     ap.add_argument("--count", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()

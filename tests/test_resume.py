@@ -103,3 +103,44 @@ def test_runner_resume_bit_identical(tmp_path):
         capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=600)
     assert r.returncode != 0
     assert "different configuration" in (r.stderr + r.stdout)
+
+
+@pytest.mark.slow
+def test_checkpoint_extension_and_eval_offset(tmp_path):
+    """(a) A checkpoint written at images=2 extends to images=4 (batch RNG
+    is seeded by absolute row index, so the first batch is reusable
+    verbatim); (b) an --eval-offset 2 run reproduces exactly the rows-2:4
+    batch of the offset-0 run (same absolute seeds)."""
+    rng = np.random.default_rng(11)
+    _make_reference(tmp_path, rng)
+    ck = tmp_path / "ext.ckpt.json"
+    env = dict(os.environ, PYTHONPATH=REPO, REDSEC_DEVICE="cpu",
+               JAX_PLATFORMS="cpu", REDSEC_ROUND_KERNEL="0",
+               REDSEC_MAX_FLIP="1")
+
+    def run(*extra):
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts/run_encrypted_mnist.py"),
+             "--batch", "2", "--model", "mnist/sign1024x1",
+             "--params", "test_noiseless", "--reference", str(tmp_path),
+             *extra],
+            capture_output=True, text=True, cwd=str(tmp_path), env=env,
+            timeout=600)
+        assert r.returncode == 0, r.stderr[-3000:]
+        return r.stdout
+
+    run("--images", "2", "--checkpoint", str(ck))
+    state = json.loads(ck.read_text())
+    assert sorted(state["batches"]) == ["0"]
+
+    out = run("--images", "4", "--checkpoint", str(ck))
+    assert "extended 2 -> 4 images" in out
+    state = json.loads(ck.read_text())
+    assert sorted(state["batches"]) == ["0", "2"]
+
+    out_ofs = run("--images", "2", "--eval-offset", "2")
+    pr = [l for l in out_ofs.splitlines()
+          if l.startswith("encrypted preds")][0]
+    assert pr.split(":")[1].strip() == str(state["batches"]["2"]["preds"])
+    assert "eval_offset=2" in out_ofs
