@@ -24,18 +24,28 @@ at msg_space granularity; "lsb" = 2^-32 of the torus):
    vanishes; a double-precision-FFT implementation (TFHE/SPQLIOS) keeps
    the continuous value.  Both conventions are reported.
 2. **Gadget truncation**: the accumulator decomposition keeps l*bg_bit of
-   32 bits (rounded, via dec_offset); the reconstruction error eps
-   (uniform, step 2^(32-l*bg_bit)) multiplies the TGSW message s_i*H, so
-   per round it contributes E[s_i] * (1 + N*E[s^2]) * Var(eps) — the term
-   the r4 prose blamed for large's noise (l*bg = 30 bits).
+   32 bits via the dec_offset trick, leaving a reconstruction residue
+   eps = -((a + offset) mod 2^(32-l*bg)) — one-sided, so its nonzero MEAN
+   is shared by every coefficient of the error polynomial, and that
+   correlated component convolves with the FULL secret key.  The
+   per-round variance is therefore E[s_i] * (1 + k*N*E[s^2])^2 * Var(eps)
+   — note the SQUARED key factor, (N/2)x the textbook independent-
+   coefficient bound.  This is an empirically pinned form, not just
+   theory: the r5 isolation sweep (results/noise_budget_validation.log)
+   measured variance linear in n (175/350/700), exactly x64 per dropped
+   3 precision bits (21/24/27), and the (1+N/2)^2 constant within 13%.
 3. **KS decomposition truncation**: the extracted a-coefficients keep
    t*ks_basebit of 32 bits (rounded via the prec offset,
    cggi_core.cpp:288,403); the per-coefficient error multiplies the
    binary extracted key: N * E[K^2] * Var(eps_ks).  At the reference's
-   t*basebit = 18 bits this is the DOMINANT medium/large term — not the
-   gadget (see budget()): 2^14-lsb steps against a 2^20-lsb message slot.
+   t*basebit = 18 bits this is the DOMINANT medium/large term:
+   2^14-lsb steps against a 2^20-lsb message slot.
 4. **KS key noise**: multiply-form switching uses N*t key samples scaled
-   by unsigned digits d in [0, base): N * t * E[d^2] * alphaeff(alpha_ks).
+   by unsigned digits d in [0, base): the per-sample variance term is
+   N * t * Var(d) * alphaeff(alpha_ks) with Var(d) = (base^2-1)/12 — the
+   E[d]*e mean component is a PER-KEY constant shift, reported separately
+   as ``ks_bias_sigma`` (it moves every output of a keyset equally; the
+   isolation experiment resolves it as the run's mean, not its sigma).
 
 The mod-switch rounding term (sqrt(n/24) rotation slots) is deliberately
 NOT part of this budget: it perturbs which test-vector slot is read (a
@@ -88,6 +98,10 @@ class NoiseBudget:
     gadget: float
     ks_trunc: float
     ks_noise: float
+    # sigma (lsb) of the PER-KEY constant output shift from E[d]*e in the
+    # key switch — not part of total_var (it is a fixed bias of a keyset,
+    # not per-bootstrap noise), surfaced for decode-budget accounting
+    ks_bias_sigma: float = 0.0
 
     @property
     def total_var(self) -> float:
@@ -116,6 +130,7 @@ class NoiseBudget:
             "gadget_slots": self.sigma_slots_of("gadget"),
             "ks_trunc_slots": self.sigma_slots_of("ks_trunc"),
             "ks_noise_slots": self.sigma_slots_of("ks_noise"),
+            "ks_bias_slots": self.ks_bias_sigma * LSB * self.params.msg_space,
             "total_slots": self.sigma_slots(),
             "budget_sigma_multiple": self.budget_sigma_multiple(),
             "flip_probability": self.flip_probability(),
@@ -146,10 +161,12 @@ def budget(p: TfheParams, engine: str = "discrete",
     e_d2 = (p.bg ** 2 - 1) / 12.0  # balanced digits, discrete uniform
     bk_noise = rounds * (p.k + 1) * p.l * p.N * e_d2 * a_bk
 
-    # 2. gadget truncation: reconstruction error appears behind s_i * H
+    # 2. gadget truncation: the one-sided residue's correlated mean
+    # convolves with the full key -> SQUARED key factor (module docstring;
+    # pinned by the r5 isolation sweep, linear in n and x64 per 3 bits)
     g_bits = 32 - p.l * p.bg_bit
     eps_g = (2.0 ** (2 * g_bits)) / 12.0 if g_bits > 0 else 0.0
-    gadget = rounds * e_s2 * (1.0 + p.k * p.N * e_s2) * eps_g
+    gadget = rounds * 0.5 * (1.0 + p.k * p.N * e_s2) ** 2 * eps_g
 
     # 3. KS decomposition truncation (cggi_core.cpp:288,403: rounded).
     # A full-precision KS (t*basebit >= 32) decomposes the int32 exactly:
@@ -158,9 +175,12 @@ def budget(p: TfheParams, engine: str = "discrete",
     eps_k = (2.0 ** (2 * k_bits)) / 12.0 if k_bits > 0 else 0.0
     ks_trunc = p.k * p.N * e_s2 * eps_k
 
-    # 4. KS key noise: unsigned digits in [0, base)
+    # 4. KS key noise: unsigned digits uniform on [0, base) -> variance
+    # term with Var(d); the E[d] mean component is a per-key constant
     b = p.ks_base
-    e_du2 = (b - 1) * (2 * b - 1) / 6.0
-    ks_noise = p.k * p.N * p.ks_t * e_du2 * a_ks
+    var_d = (b * b - 1) / 12.0
+    mean_d = (b - 1) / 2.0
+    ks_noise = p.k * p.N * p.ks_t * var_d * a_ks
+    ks_bias = mean_d * math.sqrt(p.k * p.N * p.ks_t * a_ks)
 
-    return NoiseBudget(p, bk_noise, gadget, ks_trunc, ks_noise)
+    return NoiseBudget(p, bk_noise, gadget, ks_trunc, ks_noise, ks_bias)
