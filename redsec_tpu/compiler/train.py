@@ -25,8 +25,8 @@ PERFORMANCE.md round-3 analysis); this trainer is the positive control.
 Supported topology family: Domain.BIN conv/fc layers with SIGN+BNORM (and
 optional MaxPool), an optional leading INT passthrough/SumPool sign layer,
 and a trailing FC_FINAL (Activation.NONE) — i.e. the mnist/sign* and
-cifar/binarynet* families.  ReLU (DoReFa) nets would need a staircase STE
-twin and are out of scope here.
+cifar/binarynet* families.  ReLU (DoReFa) nets are covered by the
+staircase-STE twin in ``compiler/train_relu.py``.
 """
 
 from __future__ import annotations
