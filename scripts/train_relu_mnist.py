@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--edge-margin", type=float, default=0.35)
+    ap.add_argument("--lam-edge", type=float, default=1.0)
+    ap.add_argument("--logit-margin", type=float, default=24.0)
+    ap.add_argument("--hidden-noise", type=float, default=1.0)
     ap.add_argument("--bound", type=float, default=900.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--model", default="mnist/relu1024x1")
@@ -50,7 +53,9 @@ def main():
 
     cfg = ReluTrainConfig(steps=args.steps, lr=args.lr,
                           edge_margin=args.edge_margin, bound=args.bound,
-                          seed=args.seed)
+                          lam_edge=args.lam_edge,
+                          logit_margin=args.logit_margin,
+                          hidden_noise=args.hidden_noise, seed=args.seed)
     raw, prep, report = train_and_export_relu(spec, x, labels, cfg)
 
     out = args.out_dir or os.path.join(
