@@ -105,6 +105,28 @@ def _bootstrap_plan(p: TfheParams, bundled: bool = False) -> ntt_mod.NttPlan | N
         return None
 
 
+def lazy_pointwise_passes(prime: int, contract_rows: int) -> int:
+    """Materialize+reduce passes the lazy pointwise needs: rows are grouped
+    so each int32 partial accumulates < (prime-1)^2 * group without overflow.
+    Sub-2^15 primes (12289/18433) cover the shipped row counts in 1-2 passes;
+    N=2048's forced 40961 ((p-1)^2 = 1.68e9) gets group=1 -> one full
+    [B, 2, limbs, N] partial + reduction PER ROW, and bundled rounds triple
+    contract_rows — the round-5 n2048 / tpu2+bundled throughput anomalies
+    (results/tpu_r5_n2048.log, PERFORMANCE.md round-5 section)."""
+    group = max(1, (2**31 - 1) // ((prime - 1) ** 2))
+    return -(-contract_rows // group)
+
+
+def pointwise_is_gemm(mode: str, prime: int, contract_rows: int) -> bool:
+    """Per-prime pointwise flavor: 'auto' keeps the fused lazy reduction
+    while it needs <= 2 passes and switches to the bf16 lo/hi-split GEMM
+    (pass count independent of rows; exact while contract_rows * 255^2 <
+    2^24 keeps the f32 accumulation integer-representable) beyond that."""
+    if mode == "auto":
+        return lazy_pointwise_passes(prime, contract_rows) > 2
+    return mode == "gemm"
+
+
 def _use_blind_kernel(p: TfheParams, plan: ntt_mod.NttPlan | None) -> bool:
     """Whole-blind-rotation Pallas mega-kernel (REDSEC_BLIND_KERNEL=1)."""
     if plan is None or os.environ.get("REDSEC_BLIND_KERNEL", "0") == "0":
@@ -530,10 +552,17 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1,
     # Pointwise default pairs with the NTT flavor: the matmul NTT's output
     # layout fuses well with the GEMM contraction (310/s vs 147/s for
     # matmul+lazy at batch 256 on v5e); the radix-2 NTT prefers the fused
-    # elementwise reduction (321/s).
+    # elementwise reduction (321/s) — but only while the lazy path's int32
+    # headroom covers the contraction in <= 2 passes ("auto": see
+    # lazy_pointwise_passes / pointwise_is_gemm above for the per-prime
+    # switch and the n2048 / bundled anomaly it fixes).
     pointwise_mode = os.environ.get(
-        "REDSEC_POINTWISE", "gemm" if _use_matmul_ntt(p.N) else "lazy"
+        "REDSEC_POINTWISE", "gemm" if _use_matmul_ntt(p.N) else "auto"
     )
+    _contract_rows = (3 if bundle == 2 else 1) * rows
+
+    def _pointwise_is_gemm(prime: int) -> bool:
+        return pointwise_is_gemm(pointwise_mode, prime, _contract_rows)
 
     # Whole-blind-rotation mega-kernel (pallas_blind.py): all n rounds in one
     # pallas_call, accumulator VMEM-resident, BK streamed as int16 slices.
@@ -661,7 +690,7 @@ def make_bootstrap_impl(p: TfheParams, plan: ntt_mod.NttPlan, unroll: int = 1,
             bki = bk_round[pi].astype(jnp.int32)  # [rows, 2, limbs, N]
             if ablate == "pointwise":
                 s = dn[:, : 2 * BK_LIMBS, :].reshape(-1, 2, BK_LIMBS, plan.N)
-            elif pointwise_mode == "gemm":
+            elif _pointwise_is_gemm(prime):
                 s = _pointwise_rows_gemm(dn, bki, prime)
             else:
                 s = _pointwise_rows_lazy(dn, bki, prime)
