@@ -108,10 +108,10 @@ def _bootstrap_plan(p: TfheParams, bundled: bool = False) -> ntt_mod.NttPlan | N
 def lazy_pointwise_passes(prime: int, contract_rows: int) -> int:
     """Materialize+reduce passes the lazy pointwise needs: rows are grouped
     so each int32 partial accumulates < (prime-1)^2 * group without overflow.
-    Sub-2^15 primes (12289/18433) cover the shipped row counts in 1-2 passes;
-    N=2048's forced 40961 ((p-1)^2 = 1.68e9) gets group=1 -> one full
-    [B, 2, limbs, N] partial + reduction PER ROW, and bundled rounds triple
-    contract_rows — the round-5 n2048 / tpu2+bundled throughput anomalies
+    Sub-2^15 primes (12289/18433) cover the shipped row counts in 1-2 passes
+    (<= 6 bundled, which measures ON the pass-floor model); N=2048's forced
+    40961 ((p-1)^2 = 1.68e9) gets group=1 -> one full [B, 2, limbs, N]
+    partial + reduction PER ROW — the round-5 n2048 throughput anomaly
     (results/tpu_r5_n2048.log, PERFORMANCE.md round-5 section)."""
     group = max(1, (2**31 - 1) // ((prime - 1) ** 2))
     return -(-contract_rows // group)
@@ -119,11 +119,15 @@ def lazy_pointwise_passes(prime: int, contract_rows: int) -> int:
 
 def pointwise_is_gemm(mode: str, prime: int, contract_rows: int) -> bool:
     """Per-prime pointwise flavor: 'auto' keeps the fused lazy reduction
-    while it needs <= 2 passes and switches to the bf16 lo/hi-split GEMM
-    (pass count independent of rows; exact while contract_rows * 255^2 <
-    2^24 keeps the f32 accumulation integer-representable) beyond that."""
+    up to 6 passes and switches to the bf16 lo/hi-split GEMM (pass count
+    independent of rows; exact while contract_rows * 255^2 < 2^24 keeps
+    the f32 accumulation integer-representable) beyond that.  The
+    threshold is measured, not guessed: small_v2_tpu bundled runs 9 lazy
+    passes across its two primes at +0.9% of the pass-floor model (XLA
+    fuses the short group chain), while n2048's 20-pass 40961 branch is
+    the anomaly — only the degenerate regime moves."""
     if mode == "auto":
-        return lazy_pointwise_passes(prime, contract_rows) > 2
+        return lazy_pointwise_passes(prime, contract_rows) > 6
     return mode == "gemm"
 
 

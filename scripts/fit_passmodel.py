@@ -48,10 +48,23 @@ BK_LIMBS = 4
 
 def features(params_name: str, batch: int, bundle: int):
     """Structural per-round features: rounds/bootstrap and Y = bytes
-    materialized per round (the tensor ledger of make_bootstrap_impl)."""
+    materialized per round (the tensor ledger of make_bootstrap_impl).
+
+    Batches below 128 pad to the 128-lane vector width: the round-5 n2048
+    sweep measured b64 at exactly half of b128's rate (73.5 vs 153.6
+    boots/s, results/tpu_r5_n2048.log) — same per-round time, half the
+    useful lanes — so Y is computed at max(batch, 128) while the rate
+    denominator keeps the real batch."""
     p = get_params(params_name)
-    B, N, rows = batch, p.N, p.decomp_rows
-    primes = 2
+    B, N, rows = max(batch, 128), p.N, p.decomp_rows  # B: padded, Y only
+    # Prime count comes from the ACTUAL NTT plan, not an assumed 2: the
+    # bundled tpu2 plan genuinely needs a third CRT prime (its contraction
+    # bound exceeds the 2-prime product — bootstrap._bootstrap_plan), which
+    # scales the NTT-domain terms by 1.5x and IS the r4 "tpu2+bundled -30%"
+    # anomaly (3-prime model 348 vs 340 measured at b512: +2%).
+    from redsec_tpu.crypto import bootstrap as bs
+    plan = bs._bootstrap_plan(p, bundled=(bundle == 2))
+    primes = len(plan.primes) if plan is not None else 2
     mult = 3 if bundle == 2 else 1      # rotate/diff/digit multiplicity
     rounds = p.n // 2 if bundle == 2 else p.n
     acc = 2 * 4 * B * N                  # [B, 2, N] int32 r+w (rotate out)
@@ -61,7 +74,7 @@ def features(params_name: str, batch: int, bundle: int):
     intt = pw                                    # same shape back
     crt = 2 * 4 * B * 2 * N                      # torus delta + carry
     Y = mult * (acc + digits + fwd + pw + intt + crt)
-    return {"rounds": rounds, "Y": float(Y), "batch": B,
+    return {"rounds": rounds, "Y": float(Y), "batch": batch,
             "params": params_name, "bundle": bundle}
 
 

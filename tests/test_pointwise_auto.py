@@ -2,11 +2,14 @@
 
 The lazy pointwise reduction groups contraction rows by int32 headroom
 (group = (2^31-1) // (prime-1)^2).  N=2048's forced prime 40961 degenerates
-to group=1 — twenty materialize+reduce passes per round — and bundled rounds
-triple the row count, which the round-5 TPU sweep measured as the n2048
-(-45..-64% vs pass-floor model) and tpu2+bundled (-66%) throughput anomalies
-(results/tpu_r5_n2048.log).  The fix: REDSEC_POINTWISE=auto (the default)
-switches any prime needing > 2 lazy passes to the bf16 lo/hi-split GEMM.
+to group=1 — twenty materialize+reduce passes per round — which the round-5
+TPU sweep measured as the n2048 anomaly (-45..-64% vs pass-floor model,
+results/tpu_r5_n2048.log).  The fix: REDSEC_POINTWISE=auto (the default)
+switches any prime needing > 6 lazy passes to the bf16 lo/hi-split GEMM;
+short group chains fuse fine (small_v2_tpu bundled: 9 passes total across
+its primes, measured +0.9% of model) and stay lazy.  The tpu2+bundled
+anomaly is separate — its bundled plan genuinely needs a THIRD prime, a
+model-ledger correction (scripts/fit_passmodel.py), not a code change.
 
 Pins here: (a) the selection arithmetic per shipped config, (b) the GEMM
 branch is bit-exact vs the lazy branch at the exact (prime, rows) geometry
@@ -44,12 +47,16 @@ def test_auto_selection_matches_anomaly_map():
     # headline set: unchanged (lazy), so the fitted pass-floor model holds
     assert not bs.pointwise_is_gemm("auto", 12289, 12)
     assert not bs.pointwise_is_gemm("auto", 18433, 12)
-    # n2048: only the degenerate 40961 branch moves to GEMM
+    # n2048: only the degenerate 20-pass 40961 branch moves to GEMM
     assert not bs.pointwise_is_gemm("auto", 12289, 20)
     assert bs.pointwise_is_gemm("auto", 40961, 20)
-    # bundled tpu2: both primes move
-    assert bs.pointwise_is_gemm("auto", 12289, 30)
-    assert bs.pointwise_is_gemm("auto", 18433, 30)
+    # bundled N=1024 sets stay lazy (tpu bundled measured +0.9% of model
+    # at 9 total passes — short group chains fuse; only the degenerate
+    # regime moves)
+    assert not bs.pointwise_is_gemm("auto", 12289, 30)
+    assert not bs.pointwise_is_gemm("auto", 18433, 30)
+    assert not bs.pointwise_is_gemm("auto", 12289, 36)
+    assert not bs.pointwise_is_gemm("auto", 18433, 36)
     # explicit modes still force globally
     assert bs.pointwise_is_gemm("gemm", 12289, 12)
     assert not bs.pointwise_is_gemm("lazy", 40961, 20)
