@@ -68,8 +68,16 @@ def main():
 
     # OFFLINE predictor: force CPU even when the session env points JAX at
     # the tunneled TPU — this must be runnable alongside a chip session
-    # without sharing (and crashing) the device worker.
+    # without sharing (and crashing) the device worker.  The env var alone
+    # is NOT enough: sitecustomize imports jax at interpreter start, which
+    # latches JAX_PLATFORMS=axon — the config update after import is the
+    # only override that sticks (measured the hard way: a concurrent
+    # axon-initialized helper wedged the device worker mid-queue,
+    # results/tpu_r5_queue.log 12:29 stage).
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
