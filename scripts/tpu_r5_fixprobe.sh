@@ -26,6 +26,7 @@ run() {
 }
 
 run "control tpu b512"      REDSEC_BENCH_PARAMS=small_v2_tpu   REDSEC_BENCH_BATCH=512 REDSEC_BENCH_ITERS=4
+run "control tpu b256"      REDSEC_BENCH_PARAMS=small_v2_tpu   REDSEC_BENCH_BATCH=256 REDSEC_BENCH_ITERS=4
 run "n2048 b256 lazy"       REDSEC_POINTWISE=lazy REDSEC_BENCH_PARAMS=small_v2_n2048 REDSEC_BENCH_BATCH=256 REDSEC_BENCH_ITERS=4
 run "n2048 b256 auto"       REDSEC_BENCH_PARAMS=small_v2_n2048 REDSEC_BENCH_BATCH=256 REDSEC_BENCH_ITERS=4
 run "n2048 b128 auto"       REDSEC_BENCH_PARAMS=small_v2_n2048 REDSEC_BENCH_BATCH=128 REDSEC_BENCH_ITERS=6
